@@ -1,0 +1,167 @@
+"""Compliant sphere-vs-heightfield contact with implicit damping terms.
+
+Replaces the PhysX contact solver + `net_contact_force` tensor the reference
+reads for termination / feet state / contact rewards (reference
+point_foot.py:239-247, :1114-1129).  Every collision sphere produced by the
+URDF compiler is tested against the terrain height function.
+
+Force law (per active sphere, penetration ``pen`` along terrain normal ``n``):
+
+* normal:    f_n = k·pen − d·ṗ_n  with the damping term solved *implicitly*
+  (at the post-step velocity) by adding ``dt·Jᵀ D J`` to the joint-space
+  inertia before the velocity solve — unconditionally stable for stiff
+  contacts at the reference's 5 ms substep, where an explicit Kelvin-Voigt
+  term would bounce or blow up;
+* friction:  regularized Coulomb — a viscous coefficient clamped so
+  |f_t| ≤ μ·f_n, also applied implicitly.
+
+Returned per-sphere forces are the same forces the solver applied, giving
+the env layer exact contact sensors (the reference needed an OR-filter
+workaround for unreliable PhysX mesh contacts, point_foot.py:1124-1127).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pointfoot_tpu.ops import spatial
+from pointfoot_tpu.physics.model import PhysicsParams, RobotModel
+
+
+class ContactTerms(NamedTuple):
+    """Everything the implicit velocity solve needs from the contact model."""
+
+    jac: jax.Array  # (nc, 3, nv) point Jacobians
+    f_spring: jax.Array  # (nc, 3) explicit stiffness forces
+    damp: jax.Array  # (nc, 3, 3) implicit damping matrices D_c
+    normal: jax.Array  # (nc, 3)
+    active: jax.Array  # (nc,) bool
+
+
+def _ancestor_joints(model: RobotModel, b: int) -> Tuple[int, ...]:
+    """Joint indices on the path base -> body b (static)."""
+    out = []
+    while b > 0:
+        out.append(b - 1)
+        b = model.parent[b]
+    return tuple(reversed(out))
+
+
+def terrain_normal(height_fn, x, y, eps: float = 0.02):
+    """Finite-difference surface normal of the height function."""
+    dhdx = (height_fn(x + eps, y) - height_fn(x - eps, y)) / (2 * eps)
+    dhdy = (height_fn(x, y + eps) - height_fn(x, y - eps)) / (2 * eps)
+    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+
+def contact_terms(
+    model: RobotModel,
+    params: PhysicsParams,
+    kin,
+    body_vel: jax.Array,
+    S: jax.Array,
+    origin: jax.Array,
+    height_fn: Callable,
+) -> ContactTerms:
+    """Build Jacobians, spring forces and damping matrices for all spheres."""
+    nc = len(model.collision_body)
+    nv = model.nv
+    jacs, springs, damps, normals, actives = [], [], [], [], []
+
+    for c in range(nc):
+        b = model.collision_body[c]
+        p = kin.body_pos[b] + kin.body_rot[b] @ model.collision_offset[c]
+        r = model.collision_radius[c]
+        h = height_fn(p[0], p[1])
+        n = terrain_normal(height_fn, p[0], p[1])
+        gap = (p[2] - r - h) * n[2]  # vertical gap projected onto the normal
+        pen = jnp.maximum(-gap, 0.0)
+        active = pen > 0.0
+        rel = p - origin
+
+        # point Jacobian: v_p = J u  (u = [w; v; qdot])
+        J = jnp.zeros((3, nv), dtype=origin.dtype)
+        J = J.at[:, 0:3].set(-spatial.skew(rel))
+        J = J.at[:, 3:6].set(jnp.eye(3, dtype=origin.dtype))
+        for j in _ancestor_joints(model, b):
+            col = S[6 + j, 3:] + jnp.cross(S[6 + j, :3], rel)
+            J = J.at[:, 6 + j].set(col)
+
+        v_p = spatial.point_velocity(body_vel[b], rel)
+        v_t = v_p - n * jnp.dot(n, v_p)
+        vt_norm = jnp.linalg.norm(v_t)
+
+        k = params.contact_stiffness
+        d = params.contact_damping
+        f_n_spring = k * pen
+        f_spring = jnp.where(active, f_n_spring, 0.0) * n
+
+        mu = params.friction[c]
+        # viscous friction coefficient capped by the cone at the spring-level
+        # normal force (regularized Coulomb)
+        c_t = jnp.where(
+            active,
+            jnp.minimum(mu * f_n_spring / jnp.maximum(vt_norm, 1e-3), 2e3),
+            0.0,
+        )
+        d_n = jnp.where(active, d, 0.0)
+        nn = jnp.outer(n, n)
+        D = d_n * nn + c_t * (jnp.eye(3, dtype=origin.dtype) - nn)
+
+        jacs.append(J)
+        springs.append(f_spring)
+        damps.append(D)
+        normals.append(n)
+        actives.append(active)
+
+    return ContactTerms(
+        jac=jnp.stack(jacs),
+        f_spring=jnp.stack(springs),
+        damp=jnp.stack(damps),
+        normal=jnp.stack(normals),
+        active=jnp.stack(actives),
+    )
+
+
+def contact_forces(
+    model: RobotModel,
+    params: PhysicsParams,
+    kin,
+    body_vel: jax.Array,
+    S: jax.Array,
+    origin: jax.Array,
+    height_fn: Callable,
+) -> Tuple[jax.Array, jax.Array]:
+    """Explicit-only evaluation (used by unit tests / smooth MPC dynamics):
+    per-sphere forces at the *current* velocity and their generalized force.
+    """
+    terms = contact_terms(model, params, kin, body_vel, S, origin, height_fn)
+    forces = resolve_forces(model, terms, kin, body_vel, origin)
+    tau = jnp.einsum("civ,ci->v", terms.jac, forces)
+    return forces, tau
+
+
+def resolve_forces(model, terms: ContactTerms, kin, body_vel, origin) -> jax.Array:
+    """Force each sphere applies given current body velocities (explicit)."""
+    nc = len(model.collision_body)
+    out = []
+    for c in range(nc):
+        b = model.collision_body[c]
+        p = kin.body_pos[b] + kin.body_rot[b] @ model.collision_offset[c]
+        v_p = spatial.point_velocity(body_vel[b], p - origin)
+        f = terms.f_spring[c] - terms.damp[c] @ v_p
+        f = _project_cone(f, terms.normal[c], terms.active[c])
+        out.append(f)
+    return jnp.stack(out)
+
+
+def _project_cone(f: jax.Array, n: jax.Array, active) -> jax.Array:
+    """Clamp normal ≥ 0 (no adhesion); keep tangential as-is (already coned)."""
+    f_n = jnp.dot(f, n)
+    f_t = f - f_n * n
+    f_n = jnp.maximum(f_n, 0.0)
+    return jnp.where(active, f_n * n + f_t, jnp.zeros_like(f))

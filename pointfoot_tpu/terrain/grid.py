@@ -1,0 +1,213 @@
+"""Terrain curriculum grid + on-device height sampling.
+
+Replaces the reference `Terrain` class (utils/terrain.py:38-73): composes
+(num_rows=levels x num_cols=types) sub-terrains into one global heightfield
+with a border, computes per-cell env origins, and exposes the result as a
+JAX-ready struct.  `height_at` (bilinear, used by contact) and
+`height_scan_at` (min-of-3-neighbors, exactly the reference lookup
+point_foot.py:1100-1112) run on-device so terrain queries never leave the
+chip during rollout.
+
+Terrain-type selection per cell follows the reference proportions logic
+(terrain.py:109-145) including the gap/pit tail the reference left
+unreachable with 5-entry proportions (SURVEY.md quirks #5 — we support all 8).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from pointfoot_tpu.terrain import heightfield as hfgen
+
+
+@dataclass(frozen=True)
+class TerrainCfg:
+    """Mirror of the reference terrain config (legged_robot_config.py:52-77)."""
+
+    mesh_type: str = "trimesh"  # 'plane' | 'heightfield' | 'trimesh' (same here)
+    horizontal_scale: float = 0.1  # [m] cell size
+    vertical_scale: float = 0.005  # [m] (kept for height-scan parity scaling)
+    border_size: float = 25.0  # [m]
+    curriculum: bool = True
+    static_friction: float = 1.0
+    dynamic_friction: float = 1.0
+    restitution: float = 0.0
+    # rough-terrain dims (pointfoot_rough_config.py:14-38)
+    terrain_length: float = 8.0
+    terrain_width: float = 8.0
+    num_rows: int = 10  # difficulty levels
+    num_cols: int = 20  # terrain types
+    max_init_terrain_level: int = 5
+    # proportions over the 8 families; reference lists 5 (quirk #5), extended
+    # entries enable stepping stones / gap / pit
+    terrain_proportions: Tuple[float, ...] = (0.1, 0.1, 0.35, 0.25, 0.2)
+    slope_treshold: float = 0.75  # (sic, reference spelling)
+    measure_heights: bool = True
+    selected: bool = False
+    selected_kwargs: dict = field(default_factory=dict)
+
+
+@struct.dataclass
+class TerrainGrid:
+    """Device-resident terrain: global heightfield + env origins."""
+
+    height: jax.Array  # (R, C) float32 meters
+    hscale: float = struct.field(pytree_node=False)
+    border: float = struct.field(pytree_node=False)  # [m] offset of grid origin
+    env_origins: jax.Array  # (levels, types, 3)
+    num_levels: int = struct.field(pytree_node=False)
+    num_types: int = struct.field(pytree_node=False)
+    # per-cell terrain difficulty/type for curriculum bookkeeping
+    terrain_length: float = struct.field(pytree_node=False)
+
+    def _grid_coords(self, x, y):
+        px = (x + self.border) / self.hscale
+        py = (y + self.border) / self.hscale
+        R, C = self.height.shape
+        px = jnp.clip(px, 0.0, R - 2.0)
+        py = jnp.clip(py, 0.0, C - 2.0)
+        return px, py
+
+    def height_at(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        """Bilinear height sample (contact surface; matches the piecewise-
+        linear trimesh PhysX collides against up to triangulation choice)."""
+        px, py = self._grid_coords(x, y)
+        x0 = jnp.floor(px).astype(jnp.int32)
+        y0 = jnp.floor(py).astype(jnp.int32)
+        fx = px - x0
+        fy = py - y0
+        h00 = self.height[x0, y0]
+        h10 = self.height[x0 + 1, y0]
+        h01 = self.height[x0, y0 + 1]
+        h11 = self.height[x0 + 1, y0 + 1]
+        return (
+            h00 * (1 - fx) * (1 - fy)
+            + h10 * fx * (1 - fy)
+            + h01 * (1 - fx) * fy
+            + h11 * fx * fy
+        )
+
+    def height_scan_at(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        """Reference height-scan lookup: min of 3 neighbor cells
+        (point_foot.py:1106-1111), conservative for observation purposes."""
+        px, py = self._grid_coords(x, y)
+        x0 = jnp.floor(px).astype(jnp.int32)
+        y0 = jnp.floor(py).astype(jnp.int32)
+        h1 = self.height[x0, y0]
+        h2 = self.height[x0 + 1, y0]
+        h3 = self.height[x0, y0 + 1]
+        return jnp.minimum(jnp.minimum(h1, h2), h3)
+
+
+def flat_grid(size: float = 40.0, hscale: float = 0.5,
+              num_levels: int = 1, num_types: int = 1,
+              spacing: float = 3.0) -> TerrainGrid:
+    """Plane terrain ('plane' mesh_type, pointfoot_flat_config.py:9) as a
+    degenerate grid; env origins on a square lattice like the reference
+    `_get_env_origins` plane branch (point_foot.py:988-997)."""
+    R = C = int(size / hscale)
+    origins = np.zeros((num_levels, num_types, 3), np.float32)
+    for i in range(num_levels):
+        for j in range(num_types):
+            origins[i, j] = (i * spacing, j * spacing, 0.0)
+    return TerrainGrid(
+        height=jnp.zeros((R, C), jnp.float32),
+        hscale=hscale,
+        border=size / 2,
+        env_origins=jnp.asarray(origins),
+        num_levels=num_levels,
+        num_types=num_types,
+        terrain_length=size,
+    )
+
+
+def _make_subterrain(cfg: TerrainCfg, choice: float, difficulty: float,
+                     rng: np.random.Generator, shape: Tuple[int, int]) -> np.ndarray:
+    """One sub-terrain cell — selection logic of reference make_terrain
+    (terrain.py:109-145), difficulty scalings identical."""
+    hs = cfg.horizontal_scale
+    hf = np.zeros(shape, np.float64)
+    slope = difficulty * 0.4
+    step_height = 0.05 + 0.18 * difficulty
+    discrete_obstacles_height = 0.05 + difficulty * 0.2
+    stepping_stones_size = 1.5 * (1.05 - difficulty)
+    stone_distance = 0.05 if difficulty == 0 else 0.1
+    gap_size = 1.0 * difficulty
+    pit_depth = 1.0 * difficulty
+    p = list(cfg.terrain_proportions) + [0.0] * (7 - len(cfg.terrain_proportions))
+    # cumulative thresholds as in the reference
+    if choice < p[0]:
+        if choice < p[0] / 2:
+            slope = -slope
+        hfgen.pyramid_sloped(hf, hs, slope, platform_size=3.0)
+    elif choice < p[1]:
+        hfgen.pyramid_sloped(hf, hs, slope, platform_size=3.0)
+        hfgen.random_uniform(hf, hs, rng, -0.05, 0.05, 0.005, 0.2)
+    elif choice < p[3]:
+        if choice < p[2]:
+            step_height = -step_height
+        hfgen.pyramid_stairs(hf, hs, step_width=0.31, step_height=step_height,
+                             platform_size=3.0)
+    elif choice < p[4]:
+        hfgen.discrete_obstacles(hf, hs, rng, discrete_obstacles_height,
+                                 1.0, 2.0, 20, platform_size=3.0)
+    elif choice < p[5]:
+        hfgen.stepping_stones(hf, hs, rng, stepping_stones_size, stone_distance,
+                              max_height=0.0, platform_size=4.0)
+    elif choice < p[6]:
+        hfgen.gap(hf, hs, gap_size, platform_size=3.0)
+    else:
+        hfgen.pit(hf, hs, pit_depth, platform_size=4.0)
+    return hf
+
+
+def build_terrain(cfg: TerrainCfg, seed: int = 0) -> TerrainGrid:
+    """Compose the full curriculum grid (reference Terrain.__init__ +
+    curiculum/randomized_terrain, terrain.py:38-92)."""
+    rng = np.random.default_rng(seed)
+    hs = cfg.horizontal_scale
+    cell_r = int(cfg.terrain_length / hs)
+    cell_c = int(cfg.terrain_width / hs)
+    border = int(cfg.border_size / hs)
+    R = cfg.num_rows * cell_r + 2 * border
+    C = cfg.num_cols * cell_c + 2 * border
+    big = np.zeros((R, C), np.float64)
+    origins = np.zeros((cfg.num_rows, cfg.num_cols, 3), np.float32)
+    for i in range(cfg.num_rows):  # difficulty level
+        for j in range(cfg.num_cols):  # terrain type column
+            if cfg.curriculum:
+                difficulty = i / max(cfg.num_rows - 1, 1)
+                choice = j / cfg.num_cols + 0.001
+            else:
+                difficulty = float(rng.choice([0.5, 0.75, 0.9]))
+                choice = float(rng.uniform(0, 1))
+            hf = _make_subterrain(cfg, choice, difficulty, rng, (cell_r, cell_c))
+            r0, c0 = border + i * cell_r, border + j * cell_c
+            big[r0:r0 + cell_r, c0:c0 + cell_c] = hf
+            # env origin at cell center, z = max height near the center
+            # (reference terrain.py:147-164)
+            cx = r0 + cell_r // 2
+            cy = c0 + cell_c // 2
+            w = max(int(0.5 / hs), 1)
+            z = big[cx - w:cx + w, cy - w:cy + w].max()
+            origins[i, j] = (
+                (cx - border) * hs - cfg.num_rows * cfg.terrain_length / 2 * 0,
+                (cy - border) * hs,
+                z,
+            )
+            origins[i, j, 0] = (cx - border) * hs
+    return TerrainGrid(
+        height=jnp.asarray(big, jnp.float32),
+        hscale=hs,
+        border=cfg.border_size,
+        env_origins=jnp.asarray(origins),
+        num_levels=cfg.num_rows,
+        num_types=cfg.num_cols,
+        terrain_length=cfg.terrain_length,
+    )
