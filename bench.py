@@ -1,0 +1,69 @@
+"""Headline benchmark: pointfoot_rough env throughput at 4096 envs.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: vectorized env steps/s (policy steps x num_envs) on one chip for the
+flagship pointfoot_rough config (full physics: 4 PD substeps @ 200 Hz,
+contact, terrain height scan, 19 active reward terms, curricula, masked
+resets).  Baseline: real-time rate at 4096 envs and the reference's 50 Hz
+policy rate = 204,800 steps/s (BASELINE.md: "real-time rate at batch 4096 on
+one v5e host"); vs_baseline = achieved / real-time.
+"""
+
+import json
+import os
+import sys
+import time
+
+NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
+TIMED_ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+STEPS_PER_ITER = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pointfoot_tpu.utils.registry import task_registry
+
+    env = task_registry.make_env("pointfoot_rough", num_envs=NUM_ENVS)
+    state = env.init_state(jax.random.PRNGKey(0))
+
+    def do_steps(state, key):
+        def body(carry, k):
+            s, _ = carry
+            a = jax.random.normal(k, (NUM_ENVS, env.num_actions)) * 0.2
+            s, out = env.step(s, a)
+            return (s, out.reward), ()
+
+        keys = jax.random.split(key, STEPS_PER_ITER)
+        (state, rew), _ = jax.lax.scan(body, (state, jnp.zeros(NUM_ENVS)), keys)
+        return state, rew
+
+    run = jax.jit(do_steps)
+    key = jax.random.PRNGKey(1)
+
+    # warmup/compile
+    state, rew = run(state, key)
+    jax.block_until_ready(rew)
+
+    t0 = time.perf_counter()
+    for i in range(TIMED_ITERS):
+        key, k = jax.random.split(key)
+        state, rew = run(state, k)
+    jax.block_until_ready(rew)
+    elapsed = time.perf_counter() - t0
+
+    total_env_steps = NUM_ENVS * STEPS_PER_ITER * TIMED_ITERS
+    steps_per_sec = total_env_steps / elapsed
+    realtime = NUM_ENVS * 50.0  # 50 Hz policy rate (reference control rate)
+    print(json.dumps({
+        "metric": f"env_steps_per_sec@{NUM_ENVS}envs_pointfoot_rough",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / realtime, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""PPO with GAE, timeout bootstrapping, adaptive-KL learning rate.
+
+Algorithm parity with rsl_rl v1.0.2's PPO as configured by the reference
+(legged_robot_config.py:230-243, SURVEY.md §2.5): clipped surrogate + clipped
+value loss, entropy bonus 0.01, 5 epochs x 4 minibatches over the flattened
+(T*B) rollout, gamma 0.99 / GAE lambda 0.95, gradient-norm clip 1.0, and the
+adaptive learning-rate rule targeting KL 0.01 (lr /1.5 above 2x target,
+x1.5 below half target).  Timeout bootstrapping follows rsl_rl
+`process_env_step`: on time-outs the reward is augmented with
+gamma * V(s) so truncation is not treated as death (the reference wires this
+through extras["time_outs"], point_foot.py:286-288).
+
+The full update is one jitted function; under a device mesh the gradient
+mean over minibatches is computed with a `psum` inserted automatically by
+pjit from the sharding annotations (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from pointfoot_tpu.envs.config import AlgorithmCfg
+from pointfoot_tpu.rl.networks import gaussian_entropy, gaussian_log_prob
+
+
+class Transition(NamedTuple):
+    """One rollout step, batched (T, B, ...) after scan stacking."""
+
+    obs: jax.Array
+    priv_obs: jax.Array
+    action: jax.Array
+    reward: jax.Array
+    done: jax.Array
+    time_out: jax.Array
+    value: jax.Array
+    log_prob: jax.Array
+    mean: jax.Array
+    std: jax.Array
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    learning_rate: jax.Array  # adaptive (scalar)
+    update_count: jax.Array
+
+
+def compute_gae(
+    rewards, dones, time_outs, values, last_value, gamma: float, lam: float
+) -> Tuple[jax.Array, jax.Array]:
+    """GAE over a (T, B) rollout with rsl_rl timeout bootstrapping."""
+    # bootstrap truncated episodes: r += gamma * V(s) on time-out steps
+    rewards = rewards + gamma * values * time_outs
+
+    def scan_fn(carry, inp):
+        adv_next, v_next = carry
+        r, d, v = inp
+        nonterminal = 1.0 - d
+        delta = r + gamma * v_next * nonterminal - v
+        adv = delta + gamma * lam * nonterminal * adv_next
+        return (adv, v), adv
+
+    (_, _), advantages = jax.lax.scan(
+        scan_fn,
+        (jnp.zeros_like(last_value), last_value),
+        (rewards, dones.astype(rewards.dtype), values),
+        reverse=True,
+    )
+    returns = advantages + values
+    return advantages, returns
+
+
+class PPO:
+    """Stateless PPO update operator (state lives in TrainState)."""
+
+    def __init__(self, network, cfg: AlgorithmCfg):
+        self.network = network
+        self.cfg = cfg
+        # base optimizer; LR is injected per-update (adaptive schedule)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(1.0),  # lr applied manually
+        )
+
+    def init_train_state(self, params) -> TrainState:
+        return TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            learning_rate=jnp.asarray(self.cfg.learning_rate, jnp.float32),
+            update_count=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _loss(self, params, batch: Transition, advantages, returns):
+        cfg = self.cfg
+        mean, std = self.network.apply(
+            params, batch.obs, method=self.network.distribution)
+        value = self.network.apply(
+            params, batch.priv_obs, method=self.network.value)
+        log_prob = gaussian_log_prob(mean, std, batch.action)
+        ratio = jnp.exp(log_prob - batch.log_prob)
+
+        norm_adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        surr1 = ratio * norm_adv
+        surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param,
+                         1.0 + cfg.clip_param) * norm_adv
+        surrogate_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+
+        if cfg.use_clipped_value_loss:
+            value_clipped = batch.value + jnp.clip(
+                value - batch.value, -cfg.clip_param, cfg.clip_param)
+            v_loss = jnp.maximum(
+                (value - returns) ** 2, (value_clipped - returns) ** 2)
+        else:
+            v_loss = (value - returns) ** 2
+        value_loss = jnp.mean(v_loss)
+
+        entropy = jnp.mean(gaussian_entropy(std))
+        loss = (surrogate_loss + cfg.value_loss_coef * value_loss
+                - cfg.entropy_coef * entropy)
+
+        # KL(old || new) for the adaptive LR rule (rsl_rl formula)
+        kl = jnp.mean(jnp.sum(
+            jnp.log(std / batch.std + 1e-5)
+            + (batch.std**2 + (batch.mean - mean) ** 2) / (2.0 * std**2)
+            - 0.5,
+            axis=-1))
+        metrics = dict(surrogate_loss=surrogate_loss, value_loss=value_loss,
+                       entropy=entropy, kl=kl)
+        return loss, metrics
+
+    def update(self, train_state: TrainState, rollout: Transition,
+               last_value: jax.Array, key: jax.Array
+               ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """Full PPO update: GAE + epochs x minibatches of SGD."""
+        cfg = self.cfg
+        T, B = rollout.reward.shape
+        advantages, returns = compute_gae(
+            rollout.reward, rollout.done, rollout.time_out, rollout.value,
+            last_value, cfg.gamma, cfg.lam)
+
+        flat = jax.tree.map(
+            lambda x: x.reshape((T * B,) + x.shape[2:]), rollout)
+        adv_flat = advantages.reshape(-1)
+        ret_flat = returns.reshape(-1)
+        n = T * B
+        mb_size = n // cfg.num_mini_batches
+
+        def epoch_body(carry, ep_key):
+            ts = carry
+            perm = jax.random.permutation(ep_key, n)
+
+            def mb_body(ts, mb_idx):
+                idx = jax.lax.dynamic_slice_in_dim(
+                    perm, mb_idx * mb_size, mb_size)
+                mb = jax.tree.map(lambda x: x[idx], flat)
+                mb_adv = adv_flat[idx]
+                mb_ret = ret_flat[idx]
+                (loss, metrics), grads = jax.value_and_grad(
+                    self._loss, has_aux=True)(ts.params, mb, mb_adv, mb_ret)
+                updates, new_opt = self.tx.update(grads, ts.opt_state, ts.params)
+                updates = jax.tree.map(lambda u: u * ts.learning_rate, updates)
+                new_params = optax.apply_updates(ts.params, updates)
+                # adaptive LR on the desired-KL corridor (rsl_rl schedule)
+                lr = ts.learning_rate
+                if cfg.schedule == "adaptive":
+                    lr = jnp.where(metrics["kl"] > cfg.desired_kl * 2.0,
+                                   jnp.maximum(lr / 1.5, 1e-5), lr)
+                    lr = jnp.where(
+                        (metrics["kl"] < cfg.desired_kl / 2.0)
+                        & (metrics["kl"] > 0.0),
+                        jnp.minimum(lr * 1.5, 1e-2), lr)
+                ts = ts.replace(params=new_params, opt_state=new_opt,
+                                learning_rate=lr,
+                                update_count=ts.update_count + 1)
+                return ts, metrics
+
+            ts, metrics = jax.lax.scan(
+                mb_body, ts, jnp.arange(cfg.num_mini_batches))
+            return ts, metrics
+
+        keys = jax.random.split(key, cfg.num_learning_epochs)
+        train_state, metrics = jax.lax.scan(epoch_body, train_state, keys)
+        metrics = jax.tree.map(jnp.mean, metrics)
+        metrics["learning_rate"] = train_state.learning_rate
+        metrics["mean_advantage"] = jnp.mean(advantages)
+        metrics["mean_return"] = jnp.mean(returns)
+        return train_state, metrics

@@ -1,0 +1,251 @@
+"""On-policy training runner (rsl_rl OnPolicyRunner replacement).
+
+Mirrors the reference training contract (`make_alg_runner` ->
+`runner.learn(...)`, task_registry.py:104-155, train.py:41-44): collects
+`num_steps_per_env` transitions per iteration, runs the PPO update, logs
+episode reward decomposition + curriculum gauges under the same metric names
+(`rew_<term>`, terrain_level, max_command_x — point_foot.py:276-285), saves /
+resumes checkpoints.
+
+TPU-native design: one `train_iteration` = rollout `lax.scan` + PPO update,
+jitted as a whole; with a mesh (parallel/mesh.py) the same function is
+pjit-sharded over envs (DP) and gradients all-reduce over ICI.  The python
+loop around it only logs and checkpoints (host work fully off the hot path).
+Checkpoints are Orbax (params, opt state, env state, RNG, curriculum state)
+— the full-resume superset of rsl_rl's model_<it>.pt (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointfoot_tpu.envs.config import TrainCfg
+from pointfoot_tpu.rl.networks import (
+    ActorCritic, gaussian_log_prob, sample_action)
+from pointfoot_tpu.rl.ppo import PPO, TrainState, Transition
+
+
+class OnPolicyRunner:
+    def __init__(self, env, train_cfg: TrainCfg, log_dir: Optional[str] = None,
+                 mesh=None):
+        self.env = env
+        self.cfg = train_cfg
+        self.log_dir = log_dir
+        self.mesh = mesh
+        p = train_cfg.policy
+        self.network = ActorCritic(
+            num_actions=env.num_actions,
+            actor_hidden=p.actor_hidden_dims,
+            critic_hidden=p.critic_hidden_dims,
+            activation=p.activation,
+            init_noise_std=p.init_noise_std,
+        )
+        self.ppo = PPO(self.network, train_cfg.algorithm)
+        self.current_iteration = 0
+        self._writer = None
+        self._jit_iter = None
+
+    # ------------------------------------------------------------- setup
+
+    def init(self, key: jax.Array) -> Tuple[TrainState, "EnvState"]:
+        k_net, k_env = jax.random.split(key)
+        obs_dim = self.env.num_obs
+        priv_dim = self.env.num_privileged_obs or obs_dim
+        params = self.network.init(
+            k_net, jnp.zeros((1, obs_dim)), jnp.zeros((1, priv_dim)))
+        train_state = self.ppo.init_train_state(params)
+        env_state = self.env.init_state(k_env)
+        return train_state, env_state
+
+    # --------------------------------------------------------- iteration
+
+    def rollout(self, train_state: TrainState, env_state, obs, priv_obs, key):
+        """num_steps_per_env steps (cfg :248) as a lax.scan."""
+        T = self.cfg.runner.num_steps_per_env
+        net = self.network
+
+        def step_fn(carry, step_key):
+            env_state, obs, priv_obs = carry
+            mean, std = net.apply(train_state.params, obs,
+                                  method=net.distribution)
+            value = net.apply(train_state.params, priv_obs, method=net.value)
+            action = sample_action(mean, std, step_key)
+            log_prob = gaussian_log_prob(mean, std, action)
+            env_state, out = self.env.step(env_state, action)
+            trans = Transition(
+                obs=obs, priv_obs=priv_obs, action=action, reward=out.reward,
+                done=out.done, time_out=out.extras["time_outs"].astype(
+                    out.reward.dtype),
+                value=value, log_prob=log_prob, mean=mean, std=std)
+            next_priv = (out.privileged_obs if out.privileged_obs is not None
+                         else out.obs)
+            info = {
+                "episode_rew": out.extras["episode_rew"],
+                "num_resets": out.extras["num_resets"],
+                "terrain_level": out.extras["terrain_level"],
+                "max_command_x": out.extras["max_command_x"],
+            }
+            return (env_state, out.obs, next_priv), (trans, info)
+
+        keys = jax.random.split(key, T)
+        (env_state, obs, priv_obs), (rollout, infos) = jax.lax.scan(
+            step_fn, (env_state, obs, priv_obs), keys)
+        return env_state, obs, priv_obs, rollout, infos
+
+    def train_iteration(self, train_state: TrainState, env_state, obs,
+                        priv_obs, key):
+        k_roll, k_update = jax.random.split(key)
+        env_state, obs, priv_obs, rollout, infos = self.rollout(
+            train_state, env_state, obs, priv_obs, k_roll)
+        last_value = self.network.apply(
+            train_state.params, priv_obs, method=self.network.value)
+        train_state, metrics = self.ppo.update(
+            train_state, rollout, last_value, k_update)
+        metrics["mean_reward"] = jnp.mean(rollout.reward)
+        metrics["mean_episode_length"] = jnp.mean(
+            env_state.episode_step.astype(jnp.float32))
+        metrics["noise_std"] = jnp.mean(
+            jnp.exp(train_state.params["params"]["log_std"]))
+        # episode decomposition averaged over steps that had resets
+        n_resets = jnp.sum(infos["num_resets"])
+        ep_rew = jnp.sum(
+            infos["episode_rew"] * infos["num_resets"][:, None], axis=0
+        ) / jnp.maximum(n_resets, 1)
+        metrics["episode_rew"] = ep_rew
+        metrics["num_resets"] = n_resets
+        metrics["terrain_level"] = infos["terrain_level"][-1]
+        metrics["max_command_x"] = infos["max_command_x"][-1]
+        return train_state, env_state, obs, priv_obs, metrics
+
+    # ------------------------------------------------------------- learn
+
+    def learn(self, num_iterations: int, key: Optional[jax.Array] = None,
+              train_state=None, env_state=None, log_every: int = 10,
+              init_at_random_ep_len: bool = True):
+        """Training loop (reference train.py:44 runner.learn)."""
+        if key is None:
+            key = jax.random.PRNGKey(self.cfg.seed)
+        if train_state is None or env_state is None:
+            key, k_init = jax.random.split(key)
+            train_state, env_state = self.init(k_init)
+            if init_at_random_ep_len:
+                key, k_len = jax.random.split(key)
+                env_state = env_state.replace(
+                    episode_step=jax.random.randint(
+                        k_len, env_state.episode_step.shape, 0,
+                        self.env.max_episode_length))
+
+        if self._jit_iter is None:
+            self._jit_iter = jax.jit(self.train_iteration)
+
+        # initial observations: one zero-action step (base_task.py:111-115)
+        key, k0 = jax.random.split(key)
+        env_state, out0 = jax.jit(self.env.step)(
+            env_state, jnp.zeros((self.env.num_envs, self.env.num_actions)))
+        obs = out0.obs
+        priv_obs = (out0.privileged_obs if out0.privileged_obs is not None
+                    else out0.obs)
+
+        t_start = time.time()
+        steps_per_iter = self.cfg.runner.num_steps_per_env * self.env.num_envs
+        for it in range(num_iterations):
+            key, k_it = jax.random.split(key)
+            train_state, env_state, obs, priv_obs, metrics = self._jit_iter(
+                train_state, env_state, obs, priv_obs, k_it)
+            self.current_iteration += 1
+            if (it % log_every == 0) or it == num_iterations - 1:
+                m = jax.device_get(metrics)
+                elapsed = time.time() - t_start
+                sps = steps_per_iter * (it + 1) / max(elapsed, 1e-9)
+                self._log(self.current_iteration, m, sps)
+            if (self.cfg.runner.save_interval > 0 and self.log_dir and
+                    (self.current_iteration % self.cfg.runner.save_interval == 0)):
+                self.save(train_state, env_state)
+        if self.log_dir:
+            self.save(train_state, env_state)
+        return train_state, env_state
+
+    # ----------------------------------------------------------- logging
+
+    def _log(self, it: int, m: Dict, steps_per_sec: float):
+        scalars = {
+            "it": it,
+            "steps_per_sec": round(float(steps_per_sec), 1),
+            "mean_reward": float(m["mean_reward"]),
+            "mean_episode_length": float(m["mean_episode_length"]),
+            "value_loss": float(m["value_loss"]),
+            "surrogate_loss": float(m["surrogate_loss"]),
+            "kl": float(m["kl"]),
+            "lr": float(m["learning_rate"]),
+            "noise_std": float(m["noise_std"]),
+            "terrain_level": float(m["terrain_level"]),
+        }
+        ep = np.asarray(m["episode_rew"])
+        for name, val in zip(self.env.reward_names, ep):
+            scalars[f"rew_{name}"] = float(val)
+        line = (f"it {it:6d} | {scalars['steps_per_sec']:9.0f} steps/s | "
+                f"rew {scalars['mean_reward']:8.4f} | "
+                f"eplen {scalars['mean_episode_length']:6.1f} | "
+                f"kl {scalars['kl']:.4f} | lr {scalars['lr']:.1e}")
+        print(line, flush=True)
+        if self.log_dir:
+            os.makedirs(self.log_dir, exist_ok=True)
+            with open(os.path.join(self.log_dir, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(scalars) + "\n")
+            self._tb_log(it, scalars)
+
+    def _tb_log(self, it: int, scalars: Dict):
+        if self._writer is None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._writer = SummaryWriter(self.log_dir)
+            except Exception:
+                self._writer = False
+        if self._writer:
+            for k, v in scalars.items():
+                if k != "it":
+                    self._writer.add_scalar(k, v, it)
+
+    # -------------------------------------------------------- checkpoints
+
+    def save(self, train_state: TrainState, env_state) -> str:
+        """Orbax checkpoint of the FULL training state (SURVEY.md §5)."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(
+            self.log_dir, f"model_{self.current_iteration}"))
+        ckpt = ocp.PyTreeCheckpointer()
+        ckpt.save(path, {"train_state": train_state, "env_state": env_state,
+                         "iteration": self.current_iteration}, force=True)
+        return path
+
+    def load(self, path: str, train_state: TrainState, env_state):
+        """Restore from an Orbax checkpoint directory."""
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.PyTreeCheckpointer()
+        target = {"train_state": train_state, "env_state": env_state,
+                  "iteration": 0}
+        restored = ckpt.restore(os.path.abspath(path), item=target)
+        self.current_iteration = int(restored["iteration"])
+        return restored["train_state"], restored["env_state"]
+
+    # --------------------------------------------------------- inference
+
+    def get_inference_policy(self, train_state: TrainState):
+        """Deterministic policy obs -> action mean (play.py:59)."""
+        net = self.network
+
+        @jax.jit
+        def policy(obs):
+            return net.apply(train_state.params, obs, method=net.act_mean)
+
+        return policy

@@ -1,0 +1,80 @@
+"""Training entry point.
+
+Usage:  python scripts/train.py --task=pointfoot_rough [--num_envs N]
+        [--max_iterations K] [--seed S] [--log_dir DIR] [--cpu]
+
+Replaces reference scripts/train.py:32-49 + the CLI surface of
+utils/helpers.py:152-178 (default task pointfoot_rough, num_envs /
+max_iterations / seed overrides; the dead --horovod flag is dropped —
+multi-chip scaling is automatic over the device mesh).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def get_args():
+    p = argparse.ArgumentParser(description="pointfoot_tpu trainer")
+    p.add_argument("--task", default="pointfoot_rough")
+    p.add_argument("--num_envs", type=int, default=None)
+    p.add_argument("--max_iterations", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--log_dir", default=None)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--load_run", default=None,
+                   help="checkpoint dir to resume from (default: latest)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (virtual multi-device)")
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    if args.cpu:
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from pointfoot_tpu.utils.helpers import get_load_path
+    from pointfoot_tpu.utils.registry import task_registry
+
+    env = task_registry.make_env(args.task, num_envs=args.num_envs)
+    _, train_cfg = task_registry.get_cfgs(args.task)
+    log_dir = args.log_dir
+    if log_dir is None:
+        import datetime
+
+        stamp = datetime.datetime.now().strftime("%b%d_%H-%M-%S")
+        log_dir = os.path.join("logs", train_cfg.runner.experiment_name, stamp)
+    runner = task_registry.make_alg_runner(
+        env, args.task, log_dir=log_dir,
+        max_iterations=args.max_iterations)
+    seed = args.seed if args.seed is not None else train_cfg.seed
+    iters = (args.max_iterations if args.max_iterations is not None
+             else train_cfg.runner.max_iterations)
+
+    train_state = env_state = None
+    if args.resume:
+        path = args.load_run or get_load_path(
+            os.path.join("logs", train_cfg.runner.experiment_name))
+        key = jax.random.PRNGKey(seed)
+        ts0, es0 = runner.init(key)
+        train_state, env_state = runner.load(path, ts0, es0)
+        print(f"resumed from {path} @ iteration {runner.current_iteration}")
+
+    print(f"task={args.task} envs={env.num_envs} iters={iters} "
+          f"devices={jax.devices()} log_dir={log_dir}")
+    runner.learn(iters, key=jax.random.PRNGKey(seed),
+                 train_state=train_state, env_state=env_state,
+                 log_every=args.log_every)
+
+
+if __name__ == "__main__":
+    main()

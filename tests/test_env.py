@@ -1,0 +1,274 @@
+"""Environment-layer tests: shapes, semantics, golden reward values.
+
+Covers the contract of reference point_foot.py step/post_physics_step
+(SURVEY.md §2.4) far beyond the reference's single smoke test
+(legged_gym/tests/test_env.py:42-52).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointfoot_tpu.utils.registry import task_registry
+
+B = 8
+
+
+@pytest.fixture(scope="module")
+def flat_env():
+    return task_registry.make_env("pointfoot_flat", num_envs=B)
+
+
+@pytest.fixture(scope="module")
+def flat_run(flat_env):
+    env = flat_env
+    state = env.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    state, out = step(state, jnp.zeros((B, 6)))
+    return env, state, out, step
+
+
+def test_obs_shapes_and_layout(flat_run):
+    env, state, out, _ = flat_run
+    assert out.obs.shape == (B, 27)
+    assert out.privileged_obs.shape == (B, 27)
+    # PointFoot layout: [ang_vel*0.25 | gravity | q-qdef | qd*0.05 | a | cmd]
+    g = np.asarray(out.obs[:, 3:6])
+    # projected gravity ~ (0,0,-1) for upright robots (+noise)
+    assert np.all(g[:, 2] < -0.8)
+
+
+def test_smoke_zero_actions_episode(flat_run):
+    """Reference test_env equivalent: run 10x with zero actions, finite."""
+    env, state, out, step = flat_run
+    for _ in range(30):
+        state, out = step(state, jnp.zeros((B, 6)))
+    assert np.isfinite(np.asarray(out.obs)).all()
+    assert np.isfinite(np.asarray(out.reward)).all()
+
+
+def test_rough_env_priv_obs():
+    env = task_registry.make_env("pointfoot_rough", num_envs=4)
+    state = env.init_state(jax.random.PRNGKey(1))
+    state, out = jax.jit(env.step)(state, jnp.zeros((4, 6)))
+    assert out.obs.shape == (4, 27)
+    assert out.privileged_obs.shape == (4, 148)
+    # height channel is clipped*5 -> within ±5
+    assert np.abs(np.asarray(out.privileged_obs[:, 27:])).max() <= 5.0 + 1e-5
+
+
+def test_termination_on_fall(flat_env):
+    """Robots started lying on the ground must terminate via base contact."""
+    env = flat_env
+    state = env.init_state(jax.random.PRNGKey(2))
+    phys = state.physics
+    # put robots on their side at ground level
+    quat = jnp.broadcast_to(
+        jnp.asarray([0.7071, 0.0, 0.0, 0.7071]), phys.base_quat.shape)
+    state = state.replace(
+        physics=phys.replace(
+            base_pos=phys.base_pos.at[:, 2].set(0.12), base_quat=quat))
+    step = jax.jit(env.step)
+    done_any = np.zeros(B, bool)
+    for _ in range(10):
+        state, out = step(state, jnp.zeros((B, 6)))
+        done_any |= np.asarray(out.done)
+    assert done_any.all()
+    # terminate flag (contact-only) was set, not just timeouts
+    assert np.asarray(out.extras["terminate"]).any() or done_any.all()
+
+
+def test_timeout_and_bootstrapping_flag(flat_env):
+    env = flat_env
+    state = env.init_state(jax.random.PRNGKey(3))
+    # force near-timeout
+    state = state.replace(
+        episode_step=jnp.full(B, env.max_episode_length, jnp.int32))
+    state, out = jax.jit(env.step)(state, jnp.zeros((B, 6)))
+    assert np.asarray(out.extras["time_outs"]).all()
+    assert np.asarray(out.done).all()
+    # after masked reset, episode steps are cleared
+    assert np.asarray(state.episode_step).max() == 0
+
+
+def test_reset_randomization_ranges(flat_env):
+    """DoF reset in 0.5-1.5x default, root vel in ±0.5 (PF:549-588)."""
+    env = task_registry.make_env("pointfoot_flat", num_envs=64)
+    state = env.init_state(jax.random.PRNGKey(4))
+    v = np.asarray(state.physics.base_lin_vel)
+    assert np.abs(v).max() <= 0.5 + 1e-5
+    assert np.abs(v).std() > 0.05  # actually randomized
+    # default qpos is 0 for pointfoot -> qpos stays 0 regardless of scale
+    np.testing.assert_allclose(np.asarray(state.physics.qpos), 0.0, atol=1e-6)
+
+
+def test_domain_randomization_params(flat_env):
+    env = task_registry.make_env("pointfoot_flat", num_envs=64)
+    state = env.init_state(jax.random.PRNGKey(5))
+    fric = np.asarray(state.params.friction)
+    assert fric.min() >= 0.0 and fric.max() <= 1.5 + 1e-6
+    assert np.unique(fric[:, 0]).size > 4  # bucketed but diverse
+    am = np.asarray(state.params.added_mass)
+    assert am.min() >= -1.0 - 1e-6 and am.max() <= 2.0 + 1e-6
+    com = np.asarray(state.params.com_offset)
+    assert np.abs(com[:, 0]).max() <= 0.03 + 1e-6
+    assert np.abs(com[:, 1]).max() <= 0.02 + 1e-6
+
+
+def test_sysid_hooks(flat_env):
+    """update_frictions / update_added_mass_and_base_com / update_cmd
+    (point_foot.py:103-129)."""
+    env = flat_env
+    state = env.init_state(jax.random.PRNGKey(6))
+    state = env.update_frictions(state, 0.77)
+    np.testing.assert_allclose(np.asarray(state.params.friction), 0.77)
+    state = env.update_added_mass_and_base_com(state, 1.5, [0.01, 0.0, -0.01])
+    np.testing.assert_allclose(np.asarray(state.params.added_mass), 1.5)
+    state = env.update_cmd(state, [0.5, 0.0, 0.1])
+    state2, out = jax.jit(env.step)(state, jnp.zeros((B, 6)))
+    # pinned commands survive resampling steps
+    np.testing.assert_allclose(np.asarray(state2.commands[:, 0]), 0.5)
+    np.testing.assert_allclose(np.asarray(state2.commands[:, 2]), 0.1)
+
+
+def test_determinism(flat_env):
+    env = flat_env
+    s1 = env.init_state(jax.random.PRNGKey(7))
+    s2 = env.init_state(jax.random.PRNGKey(7))
+    step = jax.jit(env.step)
+    a = jnp.ones((B, 6)) * 0.1
+    for _ in range(5):
+        s1, o1 = step(s1, a)
+        s2, o2 = step(s2, a)
+    np.testing.assert_array_equal(np.asarray(o1.obs), np.asarray(o2.obs))
+    np.testing.assert_array_equal(np.asarray(o1.reward), np.asarray(o2.reward))
+
+
+def test_push_queues_force(flat_env):
+    env = flat_env
+    state = env.init_state(jax.random.PRNGKey(8))
+    # push fires when common_step % push_interval == 0
+    state = state.replace(
+        common_step=jnp.asarray(env.push_interval - 1, jnp.int32))
+    state, out = jax.jit(env.step)(state, jnp.zeros((B, 6)))
+    assert np.abs(np.asarray(state.push_force)).max() > 0.0
+    state, out = jax.jit(env.step)(state, jnp.zeros((B, 6)))
+    # consumed and re-zeroed on the next non-push step
+    np.testing.assert_allclose(np.asarray(state.push_force), 0.0)
+
+
+class TestRewardGoldenValues:
+    """Golden-value checks of individual reward terms against hand-computed
+    expectations (reference formulas point_foot.py:1131-1253)."""
+
+    def _ctx(self, env, state, **over):
+        B_ = env.num_envs
+        ctx = dict(
+            base_lin_vel=jnp.zeros((B_, 3)),
+            base_ang_vel=jnp.zeros((B_, 3)),
+            proj_grav=jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (B_, 1)),
+            phys=state.physics,
+            torques=jnp.zeros((B_, 6)),
+            measured_heights=jnp.zeros((B_, env.num_height_points)),
+            foot_pos=jnp.zeros((B_, 2, 3)),
+            feet_force=jnp.zeros((B_, 2, 3)),
+            contact_force=state.physics.contact_force,
+            first_contact=jnp.zeros((B_, 2), bool),
+            contact_filt=jnp.zeros((B_, 2), bool),
+            done=jnp.zeros(B_, bool),
+            time_out=jnp.zeros(B_, bool),
+            state=state,
+        )
+        ctx.update(over)
+        return ctx
+
+    def test_tracking_lin_vel(self, flat_env):
+        from pointfoot_tpu.envs.legged_env import REWARD_FNS
+
+        env = flat_env
+        state = env.init_state(jax.random.PRNGKey(9))
+        state = state.replace(
+            commands=state.commands.at[:, 0].set(0.5).at[:, 1].set(0.0))
+        ctx = self._ctx(env, state,
+                        base_lin_vel=jnp.tile(jnp.asarray([0.5, 0.0, 0.0]),
+                                              (B, 1)))
+        r = REWARD_FNS["tracking_lin_vel"](env, ctx)
+        np.testing.assert_allclose(np.asarray(r), 1.0, atol=1e-6)
+        ctx2 = self._ctx(env, state, base_lin_vel=jnp.zeros((B, 3)))
+        r2 = REWARD_FNS["tracking_lin_vel"](env, ctx2)
+        np.testing.assert_allclose(np.asarray(r2), np.exp(-0.25 / 0.25),
+                                   rtol=1e-5)
+
+    def test_no_fly_single_contact(self, flat_env):
+        from pointfoot_tpu.envs.legged_env import REWARD_FNS
+
+        env = flat_env
+        state = env.init_state(jax.random.PRNGKey(10))
+        ff = jnp.zeros((B, 2, 3)).at[:, 0, 2].set(10.0)
+        r = REWARD_FNS["no_fly"](env, self._ctx(env, state, feet_force=ff))
+        np.testing.assert_allclose(np.asarray(r), 1.0)
+        ff2 = ff.at[:, 1, 2].set(10.0)
+        r2 = REWARD_FNS["no_fly"](env, self._ctx(env, state, feet_force=ff2))
+        np.testing.assert_allclose(np.asarray(r2), 0.0)
+
+    def test_feet_air_time_band(self, flat_env):
+        from pointfoot_tpu.envs.legged_env import REWARD_FNS
+
+        env = flat_env
+        state = env.init_state(jax.random.PRNGKey(11))
+        fc = jnp.zeros((B, 2), bool).at[:, 0].set(True)
+        # air time 0.4 in [0.25, 0.65] -> no penalty
+        state_ok = state.replace(
+            feet_air_time=jnp.full((B, 2), 0.4))
+        r = REWARD_FNS["feet_air_time"](
+            env, self._ctx(env, state_ok, first_contact=fc))
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-6)
+        # air time 0.1 -> below-min penalty = 0.1-0.25 = -0.15
+        state_lo = state.replace(feet_air_time=jnp.full((B, 2), 0.1))
+        r2 = REWARD_FNS["feet_air_time"](
+            env, self._ctx(env, state_lo, first_contact=fc))
+        np.testing.assert_allclose(np.asarray(r2), -0.15, atol=1e-6)
+        # air time 1.0 -> above-max penalty = 0.65-1.0 = -0.35
+        state_hi = state.replace(feet_air_time=jnp.full((B, 2), 1.0))
+        r3 = REWARD_FNS["feet_air_time"](
+            env, self._ctx(env, state_hi, first_contact=fc))
+        np.testing.assert_allclose(np.asarray(r3), -0.35, atol=1e-5)
+
+    def test_feet_distance_penalty(self, flat_env):
+        from pointfoot_tpu.envs.legged_env import REWARD_FNS
+
+        env = flat_env
+        state = env.init_state(jax.random.PRNGKey(12))
+        fp = jnp.zeros((B, 2, 3)).at[:, 1, 1].set(0.04)  # 4 cm apart
+        r = REWARD_FNS["feet_distance"](env, self._ctx(env, state, foot_pos=fp))
+        np.testing.assert_allclose(np.asarray(r), 0.1 - 0.04, atol=1e-6)
+        fp2 = jnp.zeros((B, 2, 3)).at[:, 1, 1].set(0.2)
+        r2 = REWARD_FNS["feet_distance"](env, self._ctx(env, state, foot_pos=fp2))
+        np.testing.assert_allclose(np.asarray(r2), 0.0)
+
+    def test_survival_and_termination(self, flat_env):
+        from pointfoot_tpu.envs.legged_env import REWARD_FNS
+
+        env = flat_env
+        state = env.init_state(jax.random.PRNGKey(13))
+        done = jnp.zeros(B, bool).at[0].set(True)
+        to = jnp.zeros(B, bool)
+        ctx = self._ctx(env, state, done=done, time_out=to)
+        surv = np.asarray(REWARD_FNS["survival"](env, ctx))
+        assert surv[0] == 0.0 and np.allclose(surv[1:], env.dt)
+        term = np.asarray(REWARD_FNS["termination"](env, ctx))
+        assert term[0] == 1.0 and np.all(term[1:] == 0.0)
+
+    def test_stand_still(self, flat_env):
+        from pointfoot_tpu.envs.legged_env import REWARD_FNS
+
+        env = flat_env
+        state = env.init_state(jax.random.PRNGKey(14))
+        state = state.replace(commands=jnp.zeros((B, 4)))
+        ctx = self._ctx(
+            env, state,
+            base_lin_vel=jnp.tile(jnp.asarray([0.3, -0.2, 0.0]), (B, 1)),
+            base_ang_vel=jnp.tile(jnp.asarray([0.0, 0.0, 0.4]), (B, 1)))
+        r = REWARD_FNS["stand_still"](env, ctx)
+        np.testing.assert_allclose(np.asarray(r), 0.3 + 0.2 + 0.4, atol=1e-6)
