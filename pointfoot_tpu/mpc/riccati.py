@@ -1,0 +1,131 @@
+"""Horizon-parallel LQR/Riccati via `lax.associative_scan`.
+
+The sequential Riccati recursion in mpc/ilqr.py costs O(T) dependent steps.
+This module implements the associative reformulation of the LQR backward
+pass (Särkkä & García-Fernández, "Temporal Parallelization of Dynamic
+Programming and Linear Quadratic Control", public method): each time step is
+summarized by an element e = (A, b, C, eta, J) and adjacent elements combine
+associatively, so the whole backward pass runs in O(log T) depth on TPU —
+the genuine analogue of sequence parallelism for this workload (SURVEY.md §5
+"long-context" accounting).
+
+For the affine step  x' = F x + c + L u  with control cost 0.5 u'U u and
+stage state cost 0.5 x'X x (terminal 0.5 x'XT x), the per-step element is
+
+    A = F,  b = c,  C = L U^-1 L',  eta = 0,  J = X
+
+plus a terminal pure-cost element (A=0, J=XT).  Combination (i earlier):
+
+    Mij  = (I + C_i J_j)^-1
+    A_ij = A_j Mij A_i
+    b_ij = A_j Mij (b_i + C_i eta_j) + b_j
+    C_ij = A_j Mij C_i A_j' + C_j
+    Nij  = (I + J_j C_i)^-1
+    eta_ij = A_i' Nij (eta_j - J_j b_i) + eta_i
+    J_ij   = A_i' Nij J_j A_i + J_i
+
+The value function at t is V_t(x) = 0.5 x'J x - eta'x after combining the
+suffix elements t..T; `parallel_lqr_value` is verified elementwise against
+`sequential_lqr_value` in tests/test_mpc.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LQRElement(NamedTuple):
+    A: jax.Array  # (..., n, n)
+    b: jax.Array  # (..., n)
+    C: jax.Array  # (..., n, n)
+    eta: jax.Array  # (..., n)
+    J: jax.Array  # (..., n, n)
+
+
+def _combine(elem_i: LQRElement, elem_j: LQRElement) -> LQRElement:
+    """Associative combination; elem_i earlier in time than elem_j."""
+    Ai, bi, Ci, etai, Ji = elem_i
+    Aj, bj, Cj, etaj, Jj = elem_j
+    n = Ai.shape[-1]
+    I = jnp.broadcast_to(jnp.eye(n, dtype=Ai.dtype), Ai.shape)
+    AjT = jnp.swapaxes(Aj, -1, -2)
+    AiT = jnp.swapaxes(Ai, -1, -2)
+    M = jnp.linalg.solve(I + Ci @ Jj, I)
+    N = jnp.linalg.solve(I + Jj @ Ci, I)
+    A = Aj @ M @ Ai
+    b = (Aj @ M @ (bi[..., None] + Ci @ etaj[..., None]))[..., 0] + bj
+    C = Aj @ M @ Ci @ AjT + Cj
+    eta = (AiT @ N @ (etaj - (Jj @ bi[..., None])[..., 0])[..., None])[..., 0] + etai
+    J = AiT @ N @ Jj @ Ai + Ji
+    return LQRElement(A, b, C, eta, J)
+
+
+def make_elements(F, c, L, X, U, XT) -> LQRElement:
+    """Stack per-step elements (T+1 including the terminal cost element)."""
+    T, n, _ = F.shape
+    m = L.shape[-1]
+    Uinv = jnp.linalg.solve(
+        U, jnp.broadcast_to(jnp.eye(m, dtype=U.dtype), U.shape))
+    C = L @ Uinv @ jnp.swapaxes(L, -1, -2)
+    zero_n = jnp.zeros((1, n, n), F.dtype)
+    return LQRElement(
+        A=jnp.concatenate([F, zero_n]),
+        b=jnp.concatenate([c, jnp.zeros((1, n), F.dtype)]),
+        C=jnp.concatenate([C, zero_n]),
+        eta=jnp.zeros((T + 1, n), F.dtype),
+        J=jnp.concatenate([X, XT[None]]),
+    )
+
+
+def parallel_lqr_value(elements: LQRElement) -> Tuple[jax.Array, jax.Array]:
+    """(P_t, p_t) for all t via O(log T)-depth associative scan.
+
+    V_t(x) = 0.5 x'P_t x - p_t'x + const.
+    """
+    rev = jax.tree.map(lambda a: jnp.flip(a, axis=0), elements)
+    # reversed ordering: scan prefix of reversed = suffix of original; the
+    # combine must see (earlier, later) = (element closer to t, closer to T),
+    # i.e. with reversed inputs the accumulated prefix is the LATER part.
+    scanned = jax.lax.associative_scan(
+        lambda a, b: _combine(b, a), rev)
+    P = jnp.flip(scanned.J, axis=0)
+    p = jnp.flip(scanned.eta, axis=0)
+    return P, p
+
+
+def sequential_lqr_value(F, c, L, X, U, XT):
+    """Reference sequential Riccati for the same problem (tests + latency-
+    optimal short horizons).  Same value convention as parallel_lqr_value."""
+
+    def step(carry, inp):
+        P, p = carry
+        F_t, c_t, L_t, X_t, U_t = inp
+        G = U_t + L_t.T @ P @ L_t
+        H = L_t.T @ P @ F_t
+        K = jnp.linalg.solve(G, H)
+        FKL = F_t - L_t @ K
+        P_new = X_t + F_t.T @ P @ FKL
+        P_new = 0.5 * (P_new + P_new.T)
+        p_new = FKL.T @ (p - P @ c_t)
+        return (P_new, p_new), (P_new, p_new)
+
+    init = (XT, jnp.zeros(XT.shape[-1], XT.dtype))
+    (_, _), (Ps, ps) = jax.lax.scan(
+        step, init, (F, c, L, X, U), reverse=True)
+    Ps = jnp.concatenate([Ps, XT[None]])
+    ps = jnp.concatenate([ps, jnp.zeros((1, XT.shape[-1]), XT.dtype)])
+    return Ps, ps
+
+
+def lqr_gains_from_value(F, c, L, U, P_next, p_next):
+    """Feedback gains from next-step value: u* = -K x - d."""
+    G = U + jnp.swapaxes(L, -1, -2) @ P_next @ L
+    H = jnp.swapaxes(L, -1, -2) @ P_next @ F
+    K = jnp.linalg.solve(G, H)
+    d = jnp.linalg.solve(
+        G, (jnp.swapaxes(L, -1, -2) @ (P_next @ c[..., None]
+                                       - p_next[..., None]))[..., 0])
+    return K, d

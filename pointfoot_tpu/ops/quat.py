@@ -143,6 +143,27 @@ def integrate(q: jax.Array, omega_world: jax.Array, dt: float) -> jax.Array:
     return normalize(q + 0.5 * dt * dq)
 
 
+def from_rotvec(rv: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Rotation vector (axis * angle) -> quaternion, Taylor-safe at 0."""
+    angle = jnp.linalg.norm(rv, axis=-1, keepdims=True)
+    half = 0.5 * angle
+    small = angle < eps
+    k = jnp.where(small, 0.5 + angle**2 / 48.0, jnp.sin(half) / jnp.where(small, 1.0, angle))
+    return jnp.concatenate([rv * k, jnp.cos(half)], axis=-1)
+
+
+def to_rotvec(q: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Quaternion -> rotation vector (inverse of from_rotvec)."""
+    qn = normalize(q)
+    # keep w >= 0 for the short rotation
+    qn = qn * jnp.sign(jnp.where(qn[..., 3:4] == 0, 1.0, qn[..., 3:4]))
+    sin_half = jnp.linalg.norm(qn[..., :3], axis=-1, keepdims=True)
+    angle = 2.0 * jnp.arctan2(sin_half, qn[..., 3:4])
+    small = sin_half < eps
+    scale = jnp.where(small, 2.0, angle / jnp.where(small, 1.0, sin_half))
+    return qn[..., :3] * scale
+
+
 def wrap_to_pi(angle: jax.Array) -> jax.Array:
     """Wrap angles to (-π, π]. Mirrors reference utils/math.py:45-48."""
     wrapped = jnp.mod(angle, 2.0 * jnp.pi)
