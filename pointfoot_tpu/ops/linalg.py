@@ -1,0 +1,90 @@
+"""Small-matrix batched linear algebra tuned for TPU.
+
+XLA's LAPACK-style `cholesky` + `triangular_solve` on tiny matrices
+(nv = 12-18 for legged robots) lowers to sequential loops that leave the VPU
+idle; for batch-4096 physics that dominates the step.  `chol_solve` here
+fully unrolls the factorization at trace time into ~n^2/2 fused elementwise
+ops over the batch dimension — every operation is a (B,)-shaped multiply-add
+that XLA fuses into a handful of VPU kernels.  For nv<=18 this is an order
+of magnitude faster than the library path at large batch.
+
+All functions take (..., n, n) / (..., n) and are vmap/jit/grad-safe (the
+unrolled form is differentiable like any composition of jnp ops).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cholesky_unrolled(A: jax.Array) -> jax.Array:
+    """Lower-triangular Cholesky of PD matrices, unrolled over static n."""
+    n = A.shape[-1]
+    # work with columns of the factor as a list of (..., ) scalars
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-12))
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    rows = []
+    zeros = jnp.zeros_like(A[..., 0, 0])
+    for i in range(n):
+        rows.append(jnp.stack(
+            [L[i][j] if j <= i else zeros for j in range(n)], axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def chol_solve(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b for symmetric PD A via unrolled Cholesky.
+
+    A: (..., n, n), b: (..., n).  Equivalent to
+    `jax.scipy.linalg.cho_solve(cho_factor(A), b)` but compiles to fused
+    elementwise ops (no lapack custom calls) — the hot solve of the physics
+    step (dynamics.step) and the iLQR backward pass.
+    """
+    n = A.shape[-1]
+    # factor
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-12))
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
+def chol_solve_matrix(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve A X = B with B (..., n, m): column-wise unrolled solve."""
+    m = B.shape[-1]
+    cols = [chol_solve(A, B[..., j]) for j in range(m)]
+    return jnp.stack(cols, axis=-1)

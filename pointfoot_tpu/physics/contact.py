@@ -58,6 +58,19 @@ def terrain_normal(height_fn, x, y, eps: float = 0.02):
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
 
+def query_surface(height_fn, x, y):
+    """(height, normal) of the terrain under (x, y).
+
+    If the callable carries a `surface_fn` attribute (TerrainGrid-backed
+    envs attach `TerrainGrid.surface_at` — one cell gather), use it;
+    otherwise fall back to finite-difference normals (plain test lambdas).
+    """
+    surf = getattr(height_fn, "surface_fn", None)
+    if surf is not None:
+        return surf(x, y)
+    return height_fn(x, y), terrain_normal(height_fn, x, y)
+
+
 def contact_terms(
     model: RobotModel,
     params: PhysicsParams,
@@ -76,8 +89,7 @@ def contact_terms(
         b = model.collision_body[c]
         p = kin.body_pos[b] + kin.body_rot[b] @ model.collision_offset[c]
         r = model.collision_radius[c]
-        h = height_fn(p[0], p[1])
-        n = terrain_normal(height_fn, p[0], p[1])
+        h, n = query_surface(height_fn, p[0], p[1])
         gap = (p[2] - r - h) * n[2]  # vertical gap projected onto the normal
         pen = jnp.maximum(-gap, 0.0)
         active = pen > 0.0

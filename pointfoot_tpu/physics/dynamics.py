@@ -30,6 +30,7 @@ from typing import Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from pointfoot_tpu.ops import linalg as linalg_ops
 from pointfoot_tpu.ops import quat as quat_ops
 from pointfoot_tpu.ops import spatial
 from pointfoot_tpu.physics import contact as contact_mod
@@ -289,7 +290,7 @@ def forward_dynamics(
     )
     rhs = tau + tau_contact - C
     Mreg = M + 1e-6 * jnp.eye(model.nv, dtype=M.dtype)
-    udot = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Mreg), rhs)
+    udot = linalg_ops.chol_solve(Mreg, rhs)
     return udot, f_contact
 
 
@@ -336,7 +337,7 @@ def step(
     A = M + dt * JtDJ + 1e-6 * jnp.eye(nv, dtype=M.dtype)
     A = A.at[jnp.arange(6, nv), jnp.arange(6, nv)].add(dt * model.joint_damping)
     rhs = M @ u + dt * (tau + Jt_f0 - C)
-    u_new = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(A), rhs)
+    u_new = linalg_ops.chol_solve(A, rhs)
 
     # contact sensor forces at the post-step velocity (what the solve applied)
     v_p_new = jnp.einsum("civ,v->ci", terms.jac, u_new)

@@ -55,9 +55,21 @@ class TerrainCfg:
 
 @struct.dataclass
 class TerrainGrid:
-    """Device-resident terrain: global heightfield + env origins."""
+    """Device-resident terrain: global heightfield + env origins.
+
+    Besides the raw heightfield, two derived fields are precomputed at build
+    time so hot-path queries cost ONE gather each (TPU gathers are the
+    bottleneck of terrain-heavy steps):
+
+    * `min3`  — min(h[x,y], h[x+1,y], h[x,y+1]) per cell: the reference
+      height-scan lookup (point_foot.py:1106-1111) as a single fetch;
+    * `slope` — (R, C, 2) per-cell forward-difference gradient, giving the
+      contact surface plane (height + normal) from one cell fetch.
+    """
 
     height: jax.Array  # (R, C) float32 meters
+    min3: jax.Array  # (R, C) precomputed min-of-3-neighbors
+    slope: jax.Array  # (R, C, 2) d h / d x, d h / d y per cell
     hscale: float = struct.field(pytree_node=False)
     border: float = struct.field(pytree_node=False)  # [m] offset of grid origin
     env_origins: jax.Array  # (levels, types, 3)
@@ -95,14 +107,40 @@ class TerrainGrid:
 
     def height_scan_at(self, x: jax.Array, y: jax.Array) -> jax.Array:
         """Reference height-scan lookup: min of 3 neighbor cells
-        (point_foot.py:1106-1111), conservative for observation purposes."""
+        (point_foot.py:1106-1111) — one gather from the precomputed field."""
         px, py = self._grid_coords(x, y)
         x0 = jnp.floor(px).astype(jnp.int32)
         y0 = jnp.floor(py).astype(jnp.int32)
-        h1 = self.height[x0, y0]
-        h2 = self.height[x0 + 1, y0]
-        h3 = self.height[x0, y0 + 1]
-        return jnp.minimum(jnp.minimum(h1, h2), h3)
+        return self.min3[x0, y0]
+
+    def surface_at(self, x: jax.Array, y: jax.Array):
+        """(height, unit normal) of the cell's contact plane — the
+        piecewise-planar surface PhysX's trimesh collision approximates.
+        One cell fetch (h + 2 slopes) instead of ~25 point queries."""
+        px, py = self._grid_coords(x, y)
+        x0 = jnp.floor(px).astype(jnp.int32)
+        y0 = jnp.floor(py).astype(jnp.int32)
+        h00 = self.height[x0, y0]
+        g = self.slope[x0, y0]
+        gx, gy = g[..., 0], g[..., 1]
+        h = h00 + gx * (px - x0) * self.hscale + gy * (py - y0) * self.hscale
+        n = jnp.stack([-gx, -gy, jnp.ones_like(gx)], axis=-1)
+        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        return h, n
+
+
+def _derived_fields(height: np.ndarray, hscale: float):
+    """Precompute min-of-3 and per-cell slope fields (see TerrainGrid)."""
+    h = np.asarray(height, np.float64)
+    h_xp = np.roll(h, -1, axis=0)
+    h_xp[-1] = h[-1]
+    h_yp = np.roll(h, -1, axis=1)
+    h_yp[:, -1] = h[:, -1]
+    min3 = np.minimum(np.minimum(h, h_xp), h_yp)
+    gx = (h_xp - h) / hscale
+    gy = (h_yp - h) / hscale
+    slope = np.stack([gx, gy], axis=-1)
+    return (jnp.asarray(min3, jnp.float32), jnp.asarray(slope, jnp.float32))
 
 
 def flat_grid(size: float = 40.0, hscale: float = 0.5,
@@ -118,6 +156,8 @@ def flat_grid(size: float = 40.0, hscale: float = 0.5,
             origins[i, j] = (i * spacing, j * spacing, 0.0)
     return TerrainGrid(
         height=jnp.zeros((R, C), jnp.float32),
+        min3=jnp.zeros((R, C), jnp.float32),
+        slope=jnp.zeros((R, C, 2), jnp.float32),
         hscale=hscale,
         border=size / 2,
         env_origins=jnp.asarray(origins),
@@ -202,8 +242,11 @@ def build_terrain(cfg: TerrainCfg, seed: int = 0) -> TerrainGrid:
                 z,
             )
             origins[i, j, 0] = (cx - border) * hs
+    min3, slope = _derived_fields(big, hs)
     return TerrainGrid(
         height=jnp.asarray(big, jnp.float32),
+        min3=min3,
+        slope=slope,
         hscale=hs,
         border=cfg.border_size,
         env_origins=jnp.asarray(origins),

@@ -1,0 +1,88 @@
+"""Policy export tests: flax -> torch transplant parity and actuator net."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_torchscript_export_parity(tmp_path):
+    from pointfoot_tpu.export.onnx import (
+        export_policy_torchscript, load_onnx_policy)
+    from pointfoot_tpu.rl.networks import ActorCritic
+
+    net = ActorCritic(num_actions=6, actor_hidden=(32, 16),
+                      critic_hidden=(32, 16))
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 27)),
+                      jnp.zeros((1, 27)))
+    path = export_policy_torchscript(params, 27, str(tmp_path / "p.pt"))
+    obs = np.random.default_rng(0).normal(size=(3, 27)).astype(np.float32)
+    jax_out = np.asarray(net.apply(params, jnp.asarray(obs),
+                                   method=net.act_mean))
+    torch_out = load_onnx_policy(path)(obs)
+    np.testing.assert_allclose(jax_out, torch_out, atol=1e-5)
+
+
+def test_onnx_export_fallback(tmp_path):
+    from pointfoot_tpu.export.onnx import export_policy_as_onnx
+    from pointfoot_tpu.rl.networks import ActorCritic
+
+    net = ActorCritic(num_actions=6, actor_hidden=(16,), critic_hidden=(16,))
+    params = net.init(jax.random.PRNGKey(1), jnp.zeros((1, 27)),
+                      jnp.zeros((1, 27)))
+    out = export_policy_as_onnx(params, 27, str(tmp_path / "p.onnx"))
+    import os
+
+    assert os.path.exists(out)
+
+
+def test_actuator_net_matches_torchscript():
+    """JAX LSTM evaluation == the reference TorchScript actuator net."""
+    import os
+
+    import torch
+
+    from pointfoot_tpu.physics.actuator import (
+        actuator_net_torque, init_carry, load_anydrive_weights)
+
+    ref_path = "/root/reference/resources/actuator_nets/anydrive_v3_lstm.pt"
+    if not os.path.exists(ref_path):
+        import pytest
+
+        pytest.skip("reference actuator net not available")
+    ref = torch.jit.load(ref_path)
+    rng = np.random.default_rng(0)
+    T, B = 5, 3
+    seq = rng.normal(size=(T, B, 2)).astype(np.float32) * 0.5
+
+    with torch.no_grad():
+        # reference calling convention: batch_first input (B, 1, 2) one tick
+        # at a time with hidden (2, B, 8) (anymal.py:64-77)
+        h = torch.zeros(2, B, 8)
+        c = torch.zeros(2, B, 8)
+        t_outs = []
+        for t in range(T):
+            x = torch.from_numpy(seq[t]).unsqueeze(1)  # (B, 1, 2)
+            tq, (h, c) = ref(x, (h, c))
+            t_outs.append(tq.numpy())
+        t_torque = np.stack(t_outs)  # (T, B)
+
+    w = load_anydrive_weights()
+    carry = init_carry((B,))
+    outs = []
+    for t in range(T):
+        tau, carry = actuator_net_torque(
+            w, carry, jnp.asarray(seq[t, :, 0]), jnp.asarray(seq[t, :, 1]))
+        outs.append(np.asarray(tau))
+    j_torque = np.stack(outs)
+    np.testing.assert_allclose(j_torque, t_torque, atol=1e-4)
+
+
+def test_actuator_env_runs():
+    from pointfoot_tpu.utils.registry import task_registry
+
+    env = task_registry.make_env("anymal_c_rough", num_envs=2)
+    assert env.use_actuator_net
+    state = env.init_state(jax.random.PRNGKey(0))
+    state, out = jax.jit(env.step)(state, jnp.zeros((2, 12)))
+    assert np.isfinite(np.asarray(out.obs)).all()
+    assert np.abs(np.asarray(state.torques)).max() > 0  # net produces torque

@@ -48,14 +48,11 @@ def test_ilqr_double_integrator_reaches_goal():
     cfg = ILQRConfig(horizon=horizon, iterations=8)
     x0 = jnp.asarray([2.0, 0.0])
     sol = ilqr_solve(dyn, cost, x0, jnp.zeros((horizon, 1)), cfg)
-    assert bool(sol.improved) or float(sol.cost) < 10.0
+    # LQR-exact problem: converges to the optimum (~26.18) in one iteration
+    # (zero-control rollout cost is 320)
+    assert float(sol.cost) < 27.0
     # reaches the origin
     assert abs(float(sol.xs[-1, 0])) < 0.05, np.asarray(sol.xs[-5:])
-    # cost strictly below the zero-control rollout
-    zero_cost = sum(
-        cost(x, jnp.zeros(1), t)
-        for t, x in enumerate([x0] * 1)) * 0  # placeholder
-    assert float(sol.cost) < 130.0  # zero-control cost is ~ (2^2)*(30+50)
 
 
 def test_ilqr_pendulum_swingup_improves():
