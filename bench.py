@@ -40,7 +40,8 @@ def main():
         (state, rew), _ = jax.lax.scan(body, (state, jnp.zeros(NUM_ENVS)), keys)
         return state, rew
 
-    run = jax.jit(do_steps)
+    # donate the env state: in-place buffer reuse, like the real train loop
+    run = jax.jit(do_steps, donate_argnums=0)
     key = jax.random.PRNGKey(1)
 
     # warmup/compile

@@ -143,7 +143,9 @@ class OnPolicyRunner:
                         self.env.max_episode_length))
 
         if self._jit_iter is None:
-            self._jit_iter = jax.jit(self.train_iteration)
+            # donate train/env state + obs: in-place buffer reuse per iter
+            self._jit_iter = jax.jit(self.train_iteration,
+                                     donate_argnums=(0, 1, 2, 3))
 
         # initial observations: one zero-action step (base_task.py:111-115)
         key, k0 = jax.random.split(key)
