@@ -409,11 +409,12 @@ class LeggedEnv:
                 tau = self._compute_torques(
                     actions, phys.qpos, phys.qvel, last_qvel, state.params)
             push = jnp.where(i == 0, state.push_force, jnp.zeros_like(state.push_force))
-            new_phys = jax.vmap(
-                lambda p, s, t, f: dynamics.step(
-                    m, p, s, t, hf, sim_dt, external_force=f,
-                    gravity=self.cfg.sim.gravity)
-            )(state.params, phys, tau, push)
+            from pointfoot_tpu.ops.pallas.cholesky import chol_solve_best
+
+            new_phys = dynamics.step_batched(
+                m, state.params, phys, tau, hf, sim_dt,
+                external_force=push, gravity=self.cfg.sim.gravity,
+                solver=chol_solve_best)
             return (new_phys, phys.qvel, act_carry), tau
 
         (phys, _, act_carry), taus = jax.lax.scan(

@@ -294,6 +294,70 @@ def forward_dynamics(
     return udot, f_contact
 
 
+def assemble_velocity_solve(
+    model: RobotModel,
+    params: PhysicsParams,
+    state: PhysicsState,
+    joint_torque: jax.Array,
+    height_fn: HeightFn,
+    dt: float,
+    external_force: jax.Array | None = None,
+    external_torque: jax.Array | None = None,
+    gravity: float = 9.81,
+):
+    """Build the implicit velocity system (A, rhs) + contact terms (1 env)."""
+    origin = state.base_pos
+    kin = forward_kinematics(model, state, params)
+    S = motion_subspaces(model, kin, origin)
+    body_vel = body_spatial_velocities(model, state, S)
+    M = mass_matrix(model, params, kin, S, origin)
+    C = bias_forces(model, params, kin, S, state.qvel, body_vel, origin, gravity)
+    tau = _applied_generalized_force(
+        model, state, joint_torque, external_force, external_torque, M.dtype
+    )
+
+    terms = contact_mod.contact_terms(
+        model, params, kin, body_vel, S, origin, height_fn
+    )
+    Jt_f0 = jnp.einsum("civ,ci->v", terms.jac, terms.f_spring)
+    JtDJ = jnp.einsum("civ,cij,cjw->vw", terms.jac, terms.damp, terms.jac)
+
+    nv = model.nv
+    u = jnp.concatenate([state.base_ang_vel, state.base_lin_vel, state.qvel])
+    A = M + dt * JtDJ + 1e-6 * jnp.eye(nv, dtype=M.dtype)
+    A = A.at[jnp.arange(6, nv), jnp.arange(6, nv)].add(dt * model.joint_damping)
+    rhs = M @ u + dt * (tau + Jt_f0 - C)
+    return A, rhs, terms
+
+
+def finish_step(
+    model: RobotModel, state: PhysicsState, u_new: jax.Array,
+    terms, dt: float,
+) -> PhysicsState:
+    """Contact sensor forces at the post-step velocity + position update."""
+    v_p_new = jnp.einsum("civ,v->ci", terms.jac, u_new)
+    f_c = terms.f_spring - jnp.einsum("cij,cj->ci", terms.damp, v_p_new)
+    f_n = jnp.einsum("ci,ci->c", f_c, terms.normal)
+    f_t = f_c - f_n[:, None] * terms.normal
+    f_c = jnp.where(
+        terms.active[:, None],
+        jnp.maximum(f_n, 0.0)[:, None] * terms.normal + f_t,
+        jnp.zeros_like(f_c),
+    )
+
+    ang, lin, qvel = u_new[:3], u_new[3:6], u_new[6:]
+    qvel = jnp.clip(qvel, -model.velocity_limit, model.velocity_limit)
+    pos = state.base_pos + dt * lin
+    quat = quat_ops.integrate(state.base_quat, ang, dt)
+    qpos = state.qpos + dt * qvel
+    # hard backstop slightly outside the soft limit band
+    qpos = jnp.clip(qpos, model.q_lower - 0.2, model.q_upper + 0.2)
+    return PhysicsState(
+        base_pos=pos, base_quat=quat, base_lin_vel=lin, base_ang_vel=ang,
+        qpos=qpos, qvel=qvel, contact_force=f_c,
+    )
+
+
 def step(
     model: RobotModel,
     params: PhysicsParams,
@@ -316,49 +380,39 @@ def step(
     substep — the TPU-native answer to PhysX TGS's implicit solver iterations
     (reference solver cfg pointfoot_rough_config.py:202-213).
     """
-    origin = state.base_pos
-    kin = forward_kinematics(model, state, params)
-    S = motion_subspaces(model, kin, origin)
-    body_vel = body_spatial_velocities(model, state, S)
-    M = mass_matrix(model, params, kin, S, origin)
-    C = bias_forces(model, params, kin, S, state.qvel, body_vel, origin, gravity)
-    tau = _applied_generalized_force(
-        model, state, joint_torque, external_force, external_torque, M.dtype
-    )
-
-    terms = contact_mod.contact_terms(
-        model, params, kin, body_vel, S, origin, height_fn
-    )
-    Jt_f0 = jnp.einsum("civ,ci->v", terms.jac, terms.f_spring)
-    JtDJ = jnp.einsum("civ,cij,cjw->vw", terms.jac, terms.damp, terms.jac)
-
-    nv = model.nv
-    u = jnp.concatenate([state.base_ang_vel, state.base_lin_vel, state.qvel])
-    A = M + dt * JtDJ + 1e-6 * jnp.eye(nv, dtype=M.dtype)
-    A = A.at[jnp.arange(6, nv), jnp.arange(6, nv)].add(dt * model.joint_damping)
-    rhs = M @ u + dt * (tau + Jt_f0 - C)
+    A, rhs, terms = assemble_velocity_solve(
+        model, params, state, joint_torque, height_fn, dt,
+        external_force, external_torque, gravity)
     u_new = linalg_ops.chol_solve(A, rhs)
+    return finish_step(model, state, u_new, terms, dt)
 
-    # contact sensor forces at the post-step velocity (what the solve applied)
-    v_p_new = jnp.einsum("civ,v->ci", terms.jac, u_new)
-    f_c = terms.f_spring - jnp.einsum("cij,cj->ci", terms.damp, v_p_new)
-    f_n = jnp.einsum("ci,ci->c", f_c, terms.normal)
-    f_t = f_c - f_n[:, None] * terms.normal
-    f_c = jnp.where(
-        terms.active[:, None],
-        jnp.maximum(f_n, 0.0)[:, None] * terms.normal + f_t,
-        jnp.zeros_like(f_c),
-    )
 
-    # integrate positions with the new velocities
-    ang, lin, qvel = u_new[:3], u_new[3:6], u_new[6:]
-    qvel = jnp.clip(qvel, -model.velocity_limit, model.velocity_limit)
-    pos = state.base_pos + dt * lin
-    quat = quat_ops.integrate(state.base_quat, ang, dt)
-    qpos = state.qpos + dt * qvel
-    # hard backstop slightly outside the soft limit band
-    qpos = jnp.clip(qpos, model.q_lower - 0.2, model.q_upper + 0.2)
-    return PhysicsState(
-        base_pos=pos, base_quat=quat, base_lin_vel=lin, base_ang_vel=ang,
-        qpos=qpos, qvel=qvel, contact_force=f_c,
-    )
+def step_batched(
+    model: RobotModel,
+    params: PhysicsParams,
+    state: PhysicsState,
+    joint_torque: jax.Array,
+    height_fn: HeightFn,
+    dt: float,
+    external_force: jax.Array | None = None,
+    gravity: float = 9.81,
+    solver=None,
+) -> PhysicsState:
+    """Batched substep: vmapped assembly/finish around ONE batch-level solve.
+
+    With `solver=pallas_chol_solve` (ops/pallas) the (B, nv, nv) velocity
+    systems factor in a lane-batched Pallas kernel; default is the unrolled
+    XLA path (identical results).
+    """
+    if solver is None:
+        solver = linalg_ops.chol_solve
+    A, rhs, terms = jax.vmap(
+        lambda p, s, t, f: assemble_velocity_solve(
+            model, p, s, t, height_fn, dt, f, None, gravity)
+    )(params, state, joint_torque,
+      external_force if external_force is not None
+      else jnp.zeros_like(state.base_pos))
+    u_new = solver(A, rhs)
+    return jax.vmap(
+        lambda s, u, tm: finish_step(model, s, u, tm, dt)
+    )(state, u_new, terms)
