@@ -8,6 +8,10 @@ contact, terrain height scan, 19 active reward terms, curricula, masked
 resets).  Baseline: real-time rate at 4096 envs and the reference's 50 Hz
 policy rate = 204,800 steps/s (BASELINE.md: "real-time rate at batch 4096 on
 one v5e host"); vs_baseline = achieved / real-time.
+
+BENCH_MODE=mpc instead benchmarks the batched receding-horizon iLQR engine:
+scenario-solves/s at BENCH_NUM_ENVS scenarios (horizon 25, 2 iterations per
+50 Hz tick); vs_baseline = solves/s / (num_scenarios * 50 Hz).
 """
 
 import json
@@ -18,6 +22,46 @@ import time
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
 TIMED_ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 STEPS_PER_ITER = 10
+MODE = os.environ.get("BENCH_MODE", "env")
+
+
+def main_mpc():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointfoot_tpu.mpc.controller import MPCController
+    from pointfoot_tpu.mpc.ilqr import ILQRConfig
+    from pointfoot_tpu.physics.assets import get_model
+    from pointfoot_tpu.physics.model import PhysicsParams, PhysicsState
+
+    B = NUM_ENVS
+    model = get_model("pointfoot")
+    params = PhysicsParams.nominal(model)
+    flat = lambda x, y: jnp.zeros_like(jnp.asarray(x, jnp.float32))
+    ctrl = MPCController(
+        model, params, flat, np.zeros(6, np.float32),
+        cfg=ILQRConfig(horizon=25, iterations=2, reg_init=1.0), dt=0.02)
+    phys = PhysicsState.default(model, np.zeros(6), batch=(B,),
+                                base_height=0.62)
+    cmd = jnp.zeros((B, 3))
+    ms = ctrl.init(B)
+    torque, ms, cost = ctrl.plan(phys, cmd, ms)  # compile
+    jax.block_until_ready(cost)
+    iters = max(TIMED_ITERS // 4, 3)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        torque, ms, cost = ctrl.plan(phys, cmd, ms)
+    jax.block_until_ready(cost)
+    dt = (time.perf_counter() - t0) / iters
+    solves_per_sec = B / dt
+    realtime = B * 50.0
+    print(json.dumps({
+        "metric": f"mpc_scenario_solves_per_sec@{B}",
+        "value": round(solves_per_sec, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / realtime, 4),
+    }))
 
 
 def main():
@@ -67,4 +111,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if MODE == "mpc":
+        main_mpc()
+    else:
+        main()

@@ -85,6 +85,73 @@ def export_policy_torchscript(params, obs_dim: int, path: str,
     return path
 
 
+def export_policy_lstm(params, obs_dim: int, path: str,
+                       activation: str = "elu") -> str:
+    """Export an ActorCriticRecurrent actor as a stateful TorchScript module.
+
+    Mirrors reference `PolicyExporterLSTM` (helpers.py:193-219): the exported
+    module keeps (hidden, cell) as buffers, advances them one step per
+    forward call, and exposes `reset_memory()`.  Flax OptimizedLSTMCell
+    gate layout (ii/if/ig/io + hi/hf/hg/ho dense layers) is transplanted
+    into torch's fused (i, f, g, o) LSTM weights.
+    """
+    import torch
+    import torch.nn as nn
+
+    p = params["params"]
+    rnn = p["actor_rnn"]
+    hidden = rnn["hi"]["kernel"].shape[0]
+
+    def cat_gates(group, key):
+        return np.concatenate(
+            [np.asarray(rnn[f"{group}{g}"][key]).T for g in "ifgo"], axis=0)
+
+    lstm = nn.LSTM(obs_dim, hidden, num_layers=1)
+    with torch.no_grad():
+        lstm.weight_ih_l0.copy_(torch.from_numpy(
+            np.ascontiguousarray(cat_gates("i", "kernel"))))
+        lstm.weight_hh_l0.copy_(torch.from_numpy(
+            np.ascontiguousarray(cat_gates("h", "kernel"))))
+        lstm.bias_ih_l0.zero_()
+        bias_hh = np.concatenate(
+            [np.asarray(rnn[f"h{g}"]["bias"]) for g in "ifgo"], axis=0)
+        lstm.bias_hh_l0.copy_(torch.from_numpy(np.ascontiguousarray(bias_hh)))
+
+    head_layers = []
+    i = 0
+    head = p["actor_head"]
+    while f"Dense_{i}" in head:
+        d = head[f"Dense_{i}"]
+        head_layers.append((np.asarray(d["kernel"]), np.asarray(d["bias"])))
+        i += 1
+    mlp = _build_torch_actor(head_layers, activation)
+
+    class PolicyExporterLSTM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.memory = lstm
+            self.head = mlp
+            self.register_buffer("hidden_state", torch.zeros(1, 1, hidden))
+            self.register_buffer("cell_state", torch.zeros(1, 1, hidden))
+
+        def forward(self, x):
+            out, (h, c) = self.memory(
+                x.unsqueeze(0), (self.hidden_state, self.cell_state))
+            self.hidden_state[:] = h
+            self.cell_state[:] = c
+            return self.head(out.squeeze(0))
+
+        @torch.jit.export
+        def reset_memory(self):
+            self.hidden_state[:] = 0.0
+            self.cell_state[:] = 0.0
+
+    mod = PolicyExporterLSTM().eval()
+    scripted = torch.jit.script(mod)
+    scripted.save(path)
+    return path
+
+
 def load_onnx_policy(path: str):
     """onnxruntime session -> policy callable (simulate_trajectory.py:45-59).
 

@@ -207,9 +207,29 @@ def _make_subterrain(cfg: TerrainCfg, choice: float, difficulty: float,
     return hf
 
 
+_SELECTED_GENERATORS = {
+    "pyramid_sloped": lambda hf, hs, rng, kw: hfgen.pyramid_sloped(
+        hf, hs, **kw),
+    "random_uniform": lambda hf, hs, rng, kw: hfgen.random_uniform(
+        hf, hs, rng, **kw),
+    "pyramid_stairs": lambda hf, hs, rng, kw: hfgen.pyramid_stairs(
+        hf, hs, **kw),
+    "discrete_obstacles": lambda hf, hs, rng, kw: hfgen.discrete_obstacles(
+        hf, hs, rng, **kw),
+    "stepping_stones": lambda hf, hs, rng, kw: hfgen.stepping_stones(
+        hf, hs, rng, **kw),
+    "gap": lambda hf, hs, rng, kw: hfgen.gap(hf, hs, **kw),
+    "pit": lambda hf, hs, rng, kw: hfgen.pit(hf, hs, **kw),
+}
+
+
 def build_terrain(cfg: TerrainCfg, seed: int = 0) -> TerrainGrid:
     """Compose the full curriculum grid (reference Terrain.__init__ +
-    curiculum/randomized_terrain, terrain.py:38-92)."""
+    curiculum/randomized_terrain/selected_terrain, terrain.py:38-107).
+
+    `cfg.selected` with `selected_kwargs={'type': <name>, ...}` fills every
+    cell with one named sub-terrain — the reference's `selected_terrain`
+    without the `eval()` (terrain.py:94-107 used eval on a string)."""
     rng = np.random.default_rng(seed)
     hs = cfg.horizontal_scale
     cell_r = int(cfg.terrain_length / hs)
@@ -221,13 +241,19 @@ def build_terrain(cfg: TerrainCfg, seed: int = 0) -> TerrainGrid:
     origins = np.zeros((cfg.num_rows, cfg.num_cols, 3), np.float32)
     for i in range(cfg.num_rows):  # difficulty level
         for j in range(cfg.num_cols):  # terrain type column
-            if cfg.curriculum:
-                difficulty = i / max(cfg.num_rows - 1, 1)
-                choice = j / cfg.num_cols + 0.001
+            if cfg.selected:
+                kw = dict(cfg.selected_kwargs)
+                gen = _SELECTED_GENERATORS[kw.pop("type")]
+                hf = gen(np.zeros((cell_r, cell_c)), hs, rng, kw)
             else:
-                difficulty = float(rng.choice([0.5, 0.75, 0.9]))
-                choice = float(rng.uniform(0, 1))
-            hf = _make_subterrain(cfg, choice, difficulty, rng, (cell_r, cell_c))
+                if cfg.curriculum:
+                    difficulty = i / max(cfg.num_rows - 1, 1)
+                    choice = j / cfg.num_cols + 0.001
+                else:
+                    difficulty = float(rng.choice([0.5, 0.75, 0.9]))
+                    choice = float(rng.uniform(0, 1))
+                hf = _make_subterrain(cfg, choice, difficulty, rng,
+                                      (cell_r, cell_c))
             r0, c0 = border + i * cell_r, border + j * cell_c
             big[r0:r0 + cell_r, c0:c0 + cell_c] = hf
             # env origin at cell center, z = max height near the center

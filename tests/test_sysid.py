@@ -9,9 +9,9 @@ import pytest
 from pointfoot_tpu.utils.registry import task_registry
 
 B = 2
-SIM_LEN = 50
-CHUNK = 30
-OVER = 10
+SIM_LEN = 24  # small: grad-through-sim tests compile T+warmup env steps
+CHUNK = 16
+OVER = 4
 
 
 @pytest.fixture(scope="module")
@@ -36,7 +36,7 @@ def test_simulate_trajectory_shapes(env, env_state):
         env, env_state, zero_policy,
         friction=jnp.full((B, nc), 0.8), added_mass=0.5,
         com_offset=jnp.zeros(3), cmd=jnp.asarray([0.3, 0.0, 0.0]),
-        length=SIM_LEN, warmup=5)
+        length=SIM_LEN, warmup=3)
     assert traj.obs.shape == (SIM_LEN, B, 27)
     assert traj.fell.shape == (B,)
     # pinned command visible in the obs tail (commands last, *scale [2,2,.25])
@@ -74,7 +74,7 @@ def test_gradients_flow_through_simulator(env, env_state):
 def test_gan_train_step(env, env_state):
     from pointfoot_tpu.sysid.gan import GANTrainer
 
-    t = GANTrainer(env, zero_policy, sim_length=SIM_LEN, warmup=3,
+    t = GANTrainer(env, zero_policy, sim_length=SIM_LEN, warmup=2,
                    chunk=CHUNK, overlap=OVER)
     gs = t.init(jax.random.PRNGKey(1))
     real = jax.random.normal(jax.random.PRNGKey(2), (4, t.chunk, 27)) * 0.1
@@ -92,7 +92,7 @@ def test_gan_train_step(env, env_state):
 def test_wgan_train_step(env, env_state):
     from pointfoot_tpu.sysid.wgan import WGANTrainer
 
-    t = WGANTrainer(env, zero_policy, sim_length=SIM_LEN, warmup=3,
+    t = WGANTrainer(env, zero_policy, sim_length=SIM_LEN, warmup=2,
                     chunk=CHUNK, overlap=OVER)
     ws = t.init(jax.random.PRNGKey(5))
     real = jax.random.normal(jax.random.PRNGKey(6), (4, t.chunk, 27)) * 0.1
@@ -106,7 +106,7 @@ def test_wgan_train_step(env, env_state):
 def test_identifier_train_step(env, env_state):
     from pointfoot_tpu.sysid.identifier import IdentifierTrainer
 
-    t = IdentifierTrainer(env, zero_policy, window=SIM_LEN, warmup=3,
+    t = IdentifierTrainer(env, zero_policy, window=SIM_LEN, warmup=2,
                           hidden=32)
     ident = t.init(jax.random.PRNGKey(8))
     ident, m1 = t.train_step(ident, env_state, jnp.asarray([0.0, 0.0, 0.0]),
