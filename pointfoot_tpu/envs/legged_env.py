@@ -348,7 +348,9 @@ class LeggedEnv:
             push_force=jnp.zeros((B, 3)),
             actuator_carry=(
                 jnp.zeros((B, m.nj, 2, 2, 8)) if self.use_actuator_net
-                else jnp.zeros((B, 0))),
+                # placeholder must be non-empty: checkpointers (Orbax)
+                # refuse zero-size arrays
+                else jnp.zeros((B, 1))),
             episode_sums=jnp.zeros((B, len(self.reward_names))),
             terminate=jnp.zeros(B, bool),
             time_out=jnp.zeros(B, bool),

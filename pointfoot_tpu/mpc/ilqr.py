@@ -63,24 +63,38 @@ def _total_cost(cost_fn, xs, us, T):
 
 
 def _linearize(dyn, cost_fn, xs, us, T):
-    """Derivatives along the trajectory, batched over time via vmap."""
-    fx = jax.vmap(jax.jacobian(dyn, argnums=0))(xs[:-1], us)  # (T, n, n)
-    fu = jax.vmap(jax.jacobian(dyn, argnums=1))(xs[:-1], us)  # (T, n, m)
+    """Derivatives along the trajectory, batched over time via vmap.
 
-    def c(x, u, t):
-        return cost_fn(x, u, t)
+    Dynamics jacobian and cost gradient/hessian are each computed ONCE over
+    the concatenated z = (x, u) and sliced into blocks — one jacfwd and one
+    hessian pass instead of seven separate derivative evaluations.
+    """
+    n = xs.shape[-1]
+    m = us.shape[-1]
 
-    cx = jax.vmap(jax.grad(c, argnums=0))(xs[:-1], us, jnp.arange(T))
-    cu = jax.vmap(jax.grad(c, argnums=1))(xs[:-1], us, jnp.arange(T))
-    cxx = jax.vmap(jax.hessian(c, argnums=0))(xs[:-1], us, jnp.arange(T))
-    cuu = jax.vmap(jax.hessian(c, argnums=1))(xs[:-1], us, jnp.arange(T))
-    cux = jax.vmap(jax.jacobian(jax.grad(c, argnums=1), argnums=0))(
-        xs[:-1], us, jnp.arange(T))
+    def dyn_z(z):
+        return dyn(z[:n], z[n:])
+
+    def cost_z(z, t):
+        return cost_fn(z[:n], z[n:], t)
+
+    zs = jnp.concatenate([xs[:-1], us], axis=-1)
+    fz = jax.vmap(jax.jacobian(dyn_z))(zs)  # (T, n, n+m)
+    fx, fu = fz[..., :n], fz[..., n:]
+
+    ts = jnp.arange(T)
+    gz = jax.vmap(jax.grad(cost_z))(zs, ts)  # (T, n+m)
+    cx, cu = gz[..., :n], gz[..., n:]
+    Hz = jax.vmap(jax.hessian(cost_z))(zs, ts)  # (T, n+m, n+m)
+    cxx = Hz[..., :n, :n]
+    cuu = Hz[..., n:, n:]
+    cux = Hz[..., n:, :n]
+
     # terminal expansion
     tT = jnp.asarray(T)
-    uzero = jnp.zeros_like(us[0])
-    cxT = jax.grad(c, argnums=0)(xs[-1], uzero, tT)
-    cxxT = jax.hessian(c, argnums=0)(xs[-1], uzero, tT)
+    zT = jnp.concatenate([xs[-1], jnp.zeros_like(us[0])])
+    cxT = jax.grad(cost_z)(zT, tT)[:n]
+    cxxT = jax.hessian(cost_z)(zT, tT)[:n, :n]
     return fx, fu, cx, cu, cxx, cuu, cux, cxT, cxxT
 
 
