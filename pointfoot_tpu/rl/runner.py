@@ -225,20 +225,65 @@ class OnPolicyRunner:
         path = os.path.abspath(os.path.join(
             self.log_dir, f"model_{self.current_iteration}"))
         ckpt = ocp.PyTreeCheckpointer()
-        ckpt.save(path, {"train_state": train_state, "env_state": env_state,
-                         "iteration": self.current_iteration}, force=True)
+        # device_get first: host-numpy checkpoints restore on any backend
+        # (TPU-sharded saves otherwise refuse to restore on CPU)
+        payload = jax.device_get(
+            {"train_state": train_state, "env_state": env_state,
+             "iteration": self.current_iteration})
+        ckpt.save(path, payload, force=True)
         return path
 
     def load(self, path: str, train_state: TrainState, env_state):
-        """Restore from an Orbax checkpoint directory."""
+        """Restore from an Orbax checkpoint directory.
+
+        The template (train_state, env_state) supplies the pytree structure;
+        raw arrays are restored host-side and grafted in.  If the saved env
+        batch differs from the current one (e.g. evaluating a 4096-env
+        training run with 50 envs), the fresh env_state is kept and only the
+        train state (params/optimizer/LR) is restored.
+        """
         import orbax.checkpoint as ocp
 
+        import dataclasses
+
         ckpt = ocp.PyTreeCheckpointer()
-        target = {"train_state": train_state, "env_state": env_state,
-                  "iteration": 0}
-        restored = ckpt.restore(os.path.abspath(path), item=target)
-        self.current_iteration = int(restored["iteration"])
-        return restored["train_state"], restored["env_state"]
+        raw = ckpt.restore(os.path.abspath(path))  # host numpy arrays
+        self.current_iteration = int(raw["iteration"])
+
+        def graft(template, data):
+            """Recursively pour Orbax's dict/list representation back into
+            the typed template (flax structs by field name, NamedTuples and
+            tuples positionally) — robust to key-order vs field-order."""
+            if data is None:  # leafless nodes (optax EmptyState etc.)
+                return template
+            if isinstance(data, dict):
+                if dataclasses.is_dataclass(template):
+                    return template.replace(**{
+                        k: graft(getattr(template, k), v)
+                        for k, v in data.items()})
+                if hasattr(template, "_fields"):  # NamedTuple by field name
+                    return type(template)(**{
+                        k: graft(getattr(template, k), v)
+                        for k, v in data.items()})
+                if isinstance(template, (tuple, list)):
+                    seq = [graft(template[int(k)], data[k])
+                           for k in sorted(data, key=int)]
+                    return type(template)(seq)
+                return {k: graft(template[k], v) for k, v in data.items()}
+            if isinstance(data, (list, tuple)):
+                seq = [graft(t, d) for t, d in zip(template, data)]
+                return (type(template)(*seq) if hasattr(template, "_fields")
+                        else type(template)(seq))
+            return jnp.asarray(data)
+
+        new_train = graft(train_state, raw["train_state"])
+        saved_env = raw["env_state"]
+        shapes_match = all(
+            np.asarray(a).shape == np.asarray(b).shape
+            for a, b in zip(jax.tree.leaves(env_state),
+                            jax.tree.leaves(saved_env)))
+        new_env = graft(env_state, saved_env) if shapes_match else env_state
+        return new_train, new_env
 
     # --------------------------------------------------------- inference
 
