@@ -26,6 +26,61 @@ MODE = os.environ.get("BENCH_MODE", "env")
 
 
 def main_mpc():
+    """SRB-MPC (the real-time 50 Hz planning layer): one tick = batched
+    Riccati re-plan + leg-torque mapping for all scenarios."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointfoot_tpu.mpc.srb import SRBConfig, SRBController
+    from pointfoot_tpu.physics import dynamics
+    from pointfoot_tpu.physics.assets import get_model
+    from pointfoot_tpu.physics.model import PhysicsParams, PhysicsState
+
+    B = NUM_ENVS
+    model = get_model("pointfoot")
+    params = PhysicsParams.nominal(model)
+    feet = model.collision_indices("foot")
+    ctrl = SRBController(model, params, feet, np.zeros(6, np.float32),
+                         SRBConfig())
+    phys = PhysicsState.default(model, np.zeros(6), batch=(B,),
+                                base_height=0.62)
+    cmd = jnp.zeros((B, 3))
+    contact = jnp.ones((B, len(feet)))
+
+    def foot_positions(s):
+        kin = dynamics.forward_kinematics(model, s, params)
+        return jnp.stack([
+            kin.body_pos[model.collision_body[c]]
+            + kin.body_rot[model.collision_body[c]] @ model.collision_offset[c]
+            for c in feet])
+
+    @jax.jit
+    def tick(p):
+        fp = jax.vmap(foot_positions)(p)
+        plans = ctrl.plan(p, fp, contact, cmd)
+        tau = ctrl.leg_torques(p, plans.forces[:, 0], contact)
+        return tau, plans.xs
+
+    tau, xs = tick(phys)
+    jax.block_until_ready(tau)
+    t0 = time.perf_counter()
+    for _ in range(TIMED_ITERS):
+        tau, xs = tick(phys)
+    jax.block_until_ready(tau)
+    dt = (time.perf_counter() - t0) / TIMED_ITERS
+    solves_per_sec = B / dt
+    realtime = B * 50.0
+    print(json.dumps({
+        "metric": f"srb_mpc_scenario_solves_per_sec@{B}",
+        "value": round(solves_per_sec, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / realtime, 4),
+    }))
+
+
+def main_mpc_ilqr():
+    """Full-model iLQR (offline trajectory optimization, not the 50 Hz path)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -55,12 +110,11 @@ def main_mpc():
     jax.block_until_ready(cost)
     dt = (time.perf_counter() - t0) / iters
     solves_per_sec = B / dt
-    realtime = B * 50.0
     print(json.dumps({
-        "metric": f"mpc_scenario_solves_per_sec@{B}",
+        "metric": f"ilqr_scenario_solves_per_sec@{B}",
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_sec / realtime, 4),
+        "vs_baseline": round(solves_per_sec / (B * 50.0), 4),
     }))
 
 
@@ -113,5 +167,7 @@ def main():
 if __name__ == "__main__":
     if MODE == "mpc":
         main_mpc()
+    elif MODE == "mpc_ilqr":
+        main_mpc_ilqr()
     else:
         main()

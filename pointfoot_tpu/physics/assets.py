@@ -83,4 +83,6 @@ def get_model(name: str) -> RobotModel:
 def available_models():
     if not os.path.isdir(_ASSET_DIR):
         return []
-    return sorted(p[:-5] for p in os.listdir(_ASSET_DIR) if p.endswith(".json"))
+    return sorted(
+        p[:-5] for p in os.listdir(_ASSET_DIR)
+        if p.endswith(".json") and not p.startswith("actuator"))
