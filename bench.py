@@ -48,18 +48,9 @@ def main_mpc():
     cmd = jnp.zeros((B, 3))
     contact = jnp.ones((B, len(feet)))
 
-    def foot_positions(s):
-        kin = dynamics.forward_kinematics(model, s, params)
-        return jnp.stack([
-            kin.body_pos[model.collision_body[c]]
-            + kin.body_rot[model.collision_body[c]] @ model.collision_offset[c]
-            for c in feet])
-
     @jax.jit
     def tick(p):
-        fp = jax.vmap(foot_positions)(p)
-        plans = ctrl.plan(p, fp, contact, cmd)
-        tau = ctrl.leg_torques(p, plans.forces[:, 0], contact)
+        tau, plans = ctrl.plan_tick(p, cmd)
         return tau, plans.xs
 
     tau, xs = tick(phys)

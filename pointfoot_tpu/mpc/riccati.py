@@ -36,6 +36,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from pointfoot_tpu.ops import linalg as linalg_ops
+
 
 class LQRElement(NamedTuple):
     A: jax.Array  # (..., n, n)
@@ -105,7 +107,7 @@ def sequential_lqr_value(F, c, L, X, U, XT):
         F_t, c_t, L_t, X_t, U_t = inp
         G = U_t + L_t.T @ P @ L_t
         H = L_t.T @ P @ F_t
-        K = jnp.linalg.solve(G, H)
+        K = linalg_ops.chol_solve_matrix(G, H)
         FKL = F_t - L_t @ K
         P_new = X_t + F_t.T @ P @ FKL
         P_new = 0.5 * (P_new + P_new.T)
@@ -124,8 +126,8 @@ def lqr_gains_from_value(F, c, L, U, P_next, p_next):
     """Feedback gains from next-step value: u* = -K x - d."""
     G = U + jnp.swapaxes(L, -1, -2) @ P_next @ L
     H = jnp.swapaxes(L, -1, -2) @ P_next @ F
-    K = jnp.linalg.solve(G, H)
-    d = jnp.linalg.solve(
+    K = linalg_ops.chol_solve_matrix(G, H)
+    d = linalg_ops.chol_solve(
         G, (jnp.swapaxes(L, -1, -2) @ (P_next @ c[..., None]
                                        - p_next[..., None]))[..., 0])
     return K, d

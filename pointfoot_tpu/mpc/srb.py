@@ -86,22 +86,26 @@ def _srb_matrices(mass, inertia_w_inv, foot_rel, contact, cfg: SRBConfig):
 
 def srb_plan(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
              foot_pos: jax.Array, contact: jax.Array, command: jax.Array,
-             cfg: SRBConfig) -> SRBPlan:
+             cfg: SRBConfig, kin=None) -> SRBPlan:
     """One 50 Hz re-plan for a single scenario (vmap over scenarios).
 
     foot_pos: (nf, 3) current world foot positions; contact: (nf,) {0,1}
     stance mask; command: (3,) desired (vx, vy, wz) in the base frame.
+    Pass `kin` to reuse an existing forward-kinematics evaluation.
     """
     mass = jnp.sum(model.mass) + params.added_mass
     # world-frame inertia about the CoM (frozen)
-    kin = dynamics.forward_kinematics(model, phys, params)
+    if kin is None:
+        kin = dynamics.forward_kinematics(model, phys, params)
     com = jnp.sum(model.mass[:, None] * kin.com_w, axis=0) / jnp.sum(model.mass)
     I_w = jnp.zeros((3, 3))
     for b in range(model.nb):
         d = kin.com_w[b] - com
         I_w = I_w + kin.inertia_w[b] + model.mass[b] * (
             jnp.dot(d, d) * jnp.eye(3) - jnp.outer(d, d))
-    I_inv = jnp.linalg.inv(I_w + 1e-6 * jnp.eye(3))
+    from pointfoot_tpu.ops import linalg as linalg_ops
+
+    I_inv = linalg_ops.inv3(I_w + 1e-6 * jnp.eye(3))
 
     foot_rel = foot_pos - com
     F, L = _srb_matrices(mass, I_inv, foot_rel, contact, cfg)
@@ -189,13 +193,14 @@ def _foot_ancestors(model: RobotModel, cidx) -> tuple:
 
 def forces_to_torques(model: RobotModel, phys: PhysicsState,
                       params: PhysicsParams, feet_idx, forces: jax.Array,
-                      contact: jax.Array, default_qpos, cfg: SRBConfig
-                      ) -> jax.Array:
+                      contact: jax.Array, default_qpos, cfg: SRBConfig,
+                      kin=None) -> jax.Array:
     """Stance legs realize the planned ground reaction: tau = C_j - J^T f
     (gravity/bias compensation + force mapping over the foot's ANCESTOR
     joints only — other legs' columns are zero), with light joint damping
     against internal buckling; swing legs run PD to the default pose."""
-    kin = dynamics.forward_kinematics(model, phys, params)
+    if kin is None:
+        kin = dynamics.forward_kinematics(model, phys, params)
     S = dynamics.motion_subspaces(model, kin, phys.base_pos)
     body_vel = dynamics.body_spatial_velocities(model, phys, S)
     C = dynamics.bias_forces(model, params, kin, S, phys.qvel, body_vel,
@@ -264,3 +269,31 @@ class SRBController:
         plans = self.plan(phys, foot_pos, contact, command)
         tau = self.leg_torques(phys, plans.forces[:, 0], contact)
         return tau, plans
+
+    @partial(jax.jit, static_argnums=0)
+    def plan_tick(self, phys: PhysicsState, command: jax.Array):
+        """Fused 50 Hz tick: ONE forward-kinematics evaluation shared by
+        foot positions, contact detection, the SRB plan, and the torque map.
+        Returns (torques (B, nj), plans)."""
+
+        def one(p, cmd):
+            kin = dynamics.forward_kinematics(self.model, p, self.params)
+            fps, contact = [], []
+            for k, cidx in enumerate(self.feet_idx):
+                b = self.model.collision_body[cidx]
+                fp = (kin.body_pos[b]
+                      + kin.body_rot[b] @ self.model.collision_offset[cidx])
+                fps.append(fp)
+                contact.append(
+                    (p.contact_force[cidx, 2] > 1.0).astype(jnp.float32))
+            foot_pos = jnp.stack(fps)
+            ct = jnp.stack(contact)
+            ct = jnp.where(jnp.sum(ct) > 0, ct, jnp.ones_like(ct))
+            plan = srb_plan(self.model, p, self.params, foot_pos, ct, cmd,
+                            self.cfg, kin=kin)
+            tau = forces_to_torques(
+                self.model, p, self.params, self.feet_idx, plan.forces[0],
+                ct, self.default_qpos, self.cfg, kin=kin)
+            return tau, plan
+
+        return jax.vmap(one)(phys, command)

@@ -88,3 +88,21 @@ def chol_solve_matrix(A: jax.Array, B: jax.Array) -> jax.Array:
     m = B.shape[-1]
     cols = [chol_solve(A, B[..., j]) for j in range(m)]
     return jnp.stack(cols, axis=-1)
+
+
+def inv3(A: jax.Array, eps: float = 1e-9) -> jax.Array:
+    """Analytic 3x3 inverse (adjugate / det), batched — no lapack call."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps, eps, det)
+    adj = jnp.stack([
+        co_a, -(b * i - c * h), (b * f - c * e),
+        co_b, (a * i - c * g), -(a * f - c * d),
+        co_c, -(a * h - b * g), (a * e - b * d),
+    ], axis=-1).reshape(A.shape)
+    return adj * inv_det[..., None, None]
