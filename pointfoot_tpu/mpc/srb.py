@@ -42,7 +42,8 @@ from pointfoot_tpu.physics.model import PhysicsParams, PhysicsState, RobotModel
 
 @dataclass(frozen=True)
 class SRBConfig:
-    horizon: int = 16
+    # 12 steps x 20 ms = 240 ms lookahead (MIT convex-MPC uses ~10 steps)
+    horizon: int = 12
     dt: float = 0.02
     w_vel: float = 10.0
     w_height: float = 50.0
