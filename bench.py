@@ -48,8 +48,13 @@ def main_mpc():
     cmd = jnp.zeros((B, 3))
     contact = jnp.ones((B, len(feet)))
 
+    use_pallas = os.environ.get("BENCH_SRB_PALLAS") == "1"
+
     @jax.jit
     def tick(p):
+        if use_pallas:
+            tau, fs = ctrl.plan_tick_pallas(p, cmd)
+            return tau, fs
         tau, plans = ctrl.plan_tick(p, cmd)
         return tau, plans.xs
 

@@ -85,15 +85,11 @@ def _srb_matrices(mass, inertia_w_inv, foot_rel, contact, cfg: SRBConfig):
     return F, L
 
 
-def srb_plan(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
-             foot_pos: jax.Array, contact: jax.Array, command: jax.Array,
-             cfg: SRBConfig, kin=None) -> SRBPlan:
-    """One 50 Hz re-plan for a single scenario (vmap over scenarios).
-
-    foot_pos: (nf, 3) current world foot positions; contact: (nf,) {0,1}
-    stance mask; command: (3,) desired (vx, vy, wz) in the base frame.
-    Pass `kin` to reuse an existing forward-kinematics evaluation.
-    """
+def srb_problem(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
+                foot_pos: jax.Array, contact: jax.Array, command: jax.Array,
+                cfg: SRBConfig, kin=None):
+    """Assemble the per-scenario LQR problem (F, c_tot, L, Xd, Ud, XTd,
+    x0, f_ff) — shared by the XLA and Pallas solvers."""
     mass = jnp.sum(model.mass) + params.added_mass
     # world-frame inertia about the CoM (frozen)
     if kin is None:
@@ -110,8 +106,7 @@ def srb_plan(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
 
     foot_rel = foot_pos - com
     F, L = _srb_matrices(mass, I_inv, foot_rel, contact, cfg)
-    T = cfg.horizon
-    n, m = 12, foot_rel.shape[0] * 3
+    n = 12
 
     # gravity enters as the affine drift c
     c = jnp.zeros(n).at[8].add(-9.81 * cfg.dt)
@@ -128,14 +123,14 @@ def srb_plan(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
         jnp.zeros(3).at[2].set(command[2]),
     ])
 
-    X = jnp.diag(jnp.asarray(
+    Xd = jnp.asarray(
         [cfg.w_pos, cfg.w_pos, cfg.w_height,
          cfg.w_orient, cfg.w_orient, 0.0,
          cfg.w_vel, cfg.w_vel, cfg.w_vel,
-         cfg.w_omega, cfg.w_omega, cfg.w_vel]))
-    U = jnp.diag(jnp.tile(jnp.asarray(
+         cfg.w_omega, cfg.w_omega, cfg.w_vel])
+    Ud = jnp.tile(jnp.asarray(
         [cfg.w_force_tangent, cfg.w_force_tangent, cfg.w_force_normal]),
-        foot_rel.shape[0]))
+        foot_rel.shape[0])
 
     # current SRB state (deviation form: x - x_ref; positions relative)
     x0 = jnp.concatenate([
@@ -153,15 +148,38 @@ def srb_plan(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
         contact[i] * jnp.asarray([0.0, 0.0, 9.81]) * mass / n_stance
         for i in range(foot_rel.shape[0])])
     c_tot = c + L @ f_ff  # drift with feedforward applied
+    return F, c_tot, L, Xd, Ud, 5.0 * Xd, x0, f_ff
 
+
+def _project_cone(fs: jax.Array, cfg: SRBConfig) -> jax.Array:
+    """Unilateral + friction-cone projection, fs (..., T, nf, 3)."""
+    fz = jnp.clip(fs[..., 2], 0.0, cfg.f_max)
+    fxy = jnp.clip(fs[..., :2], -cfg.mu * fz[..., None],
+                   cfg.mu * fz[..., None])
+    return jnp.concatenate([fxy, fz[..., None]], axis=-1)
+
+
+def srb_plan(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
+             foot_pos: jax.Array, contact: jax.Array, command: jax.Array,
+             cfg: SRBConfig, kin=None) -> SRBPlan:
+    """One 50 Hz re-plan for a single scenario (vmap over scenarios).
+
+    foot_pos: (nf, 3) current world foot positions; contact: (nf,) {0,1}
+    stance mask; command: (3,) desired (vx, vy, wz) in the base frame.
+    Pass `kin` to reuse an existing forward-kinematics evaluation.
+    """
+    F, c_tot, L, Xd, Ud, XTd, x0, f_ff = srb_problem(
+        model, phys, params, foot_pos, contact, command, cfg, kin=kin)
+    T = cfg.horizon
+    n, m = F.shape[0], L.shape[1]
+    U = jnp.diag(Ud)
     Fs = jnp.broadcast_to(F, (T, n, n))
     cs = jnp.broadcast_to(c_tot, (T, n))
     Ls = jnp.broadcast_to(L, (T, n, m))
-    Xs = jnp.broadcast_to(X, (T, n, n))
+    Xs = jnp.broadcast_to(jnp.diag(Xd), (T, n, n))
     Us = jnp.broadcast_to(U, (T, m, m))
-    XT = 5.0 * X
 
-    Ps, ps = riccati.sequential_lqr_value(Fs, cs, Ls, Xs, Us, XT)
+    Ps, ps = riccati.sequential_lqr_value(Fs, cs, Ls, Xs, Us, jnp.diag(XTd))
 
     def rollout(x, t):
         K, d = riccati.lqr_gains_from_value(F, c_tot, L, U, Ps[t + 1],
@@ -172,13 +190,7 @@ def srb_plan(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
         return x1, (f, x1)
 
     _, (fs, xs) = jax.lax.scan(rollout, x0, jnp.arange(T))
-    fs = fs.reshape(T, -1, 3)
-    # unilateral + friction-cone projection (the hard constraints the
-    # penalty weights approximate)
-    fz = jnp.clip(fs[..., 2], 0.0, cfg.f_max)
-    fxy = jnp.clip(fs[..., :2], -cfg.mu * fz[..., None],
-                   cfg.mu * fz[..., None])
-    fs = jnp.concatenate([fxy, fz[..., None]], axis=-1)
+    fs = _project_cone(fs.reshape(T, -1, 3), cfg)
     return SRBPlan(forces=fs, xs=jnp.concatenate([x0[None], xs], axis=0))
 
 
@@ -270,6 +282,38 @@ class SRBController:
         plans = self.plan(phys, foot_pos, contact, command)
         tau = self.leg_torques(phys, plans.forces[:, 0], contact)
         return tau, plans
+
+    @partial(jax.jit, static_argnums=0)
+    def plan_tick_pallas(self, phys: PhysicsState, command: jax.Array):
+        """Fused tick with the batch-level Pallas SRB-LQR kernel
+        (ops/pallas/riccati.py): problem assembly and torque mapping stay
+        vmapped XLA; the Riccati sweep + rollout run as ONE kernel."""
+        from pointfoot_tpu.ops.pallas.riccati import pallas_srb_lqr
+
+        nf = len(self.feet_idx)
+
+        def prep(p, cmd):
+            kin = dynamics.forward_kinematics(self.model, p, self.params)
+            fps, contact = [], []
+            for cidx in self.feet_idx:
+                b = self.model.collision_body[cidx]
+                fps.append(kin.body_pos[b] + kin.body_rot[b]
+                           @ self.model.collision_offset[cidx])
+                contact.append(
+                    (p.contact_force[cidx, 2] > 1.0).astype(jnp.float32))
+            foot_pos = jnp.stack(fps)
+            ct = jnp.stack(contact)
+            ct = jnp.where(jnp.sum(ct) > 0, ct, jnp.ones_like(ct))
+            prob = srb_problem(self.model, p, self.params, foot_pos, ct, cmd,
+                               self.cfg, kin=kin)
+            return prob, ct
+
+        probs, ct = jax.vmap(prep)(phys, command)
+        fs = pallas_srb_lqr(*probs, horizon=self.cfg.horizon)  # (B, T, m)
+        B, T = fs.shape[0], fs.shape[1]
+        fs = _project_cone(fs.reshape(B, T, nf, 3), self.cfg)
+        tau = self.leg_torques(phys, fs[:, 0], ct)
+        return tau, fs
 
     @partial(jax.jit, static_argnums=0)
     def plan_tick(self, phys: PhysicsState, command: jax.Array):
