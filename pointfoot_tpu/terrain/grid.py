@@ -180,8 +180,11 @@ def _make_subterrain(cfg: TerrainCfg, choice: float, difficulty: float,
     stone_distance = 0.05 if difficulty == 0 else 0.1
     gap_size = 1.0 * difficulty
     pit_depth = 1.0 * difficulty
-    p = list(cfg.terrain_proportions) + [0.0] * (7 - len(cfg.terrain_proportions))
-    # cumulative thresholds as in the reference
+    # the reference accumulates proportions into cumulative thresholds
+    # (terrain.py:49) before make_terrain's `choice < proportions[k]` tests
+    raw = list(cfg.terrain_proportions)
+    cum = list(np.cumsum(raw))
+    p = cum + [cum[-1] if cum else 0.0] * (7 - len(cum))
     if choice < p[0]:
         if choice < p[0] / 2:
             slope = -slope

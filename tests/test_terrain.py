@@ -77,6 +77,27 @@ def test_build_terrain_grid_shape_and_origins():
                                   np.asarray(grid2.height))
 
 
+def test_default_proportions_have_no_pits():
+    """With the reference's default 5 proportions (sum 1.0), the gap/pit
+    tail is unreachable (SURVEY quirk #5): no cell may contain the -8 m
+    moat or deep trench, and stairs should dominate (0.35+0.25 mass)."""
+    cfg = TerrainCfg(num_rows=4, num_cols=10, border_size=2.0,
+                     terrain_length=4.0, terrain_width=4.0, curriculum=True)
+    grid = build_terrain(cfg, seed=0)
+    h = np.asarray(grid.height)
+    assert h.min() > -3.0, h.min()  # no -8/-10 gap/trench flooring
+
+
+def test_extended_proportions_reach_gap_and_pit():
+    cfg = TerrainCfg(num_rows=2, num_cols=8, border_size=2.0,
+                     terrain_length=4.0, terrain_width=4.0, curriculum=True,
+                     terrain_proportions=(0.1, 0.1, 0.2, 0.1, 0.1, 0.1,
+                                          0.2, 0.1))
+    grid = build_terrain(cfg, seed=0)
+    h = np.asarray(grid.height)
+    assert h.min() <= -5.0  # gap moats present
+
+
 def test_height_sampling_consistency():
     import jax.numpy as jnp
 
