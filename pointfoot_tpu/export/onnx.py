@@ -152,6 +152,42 @@ def export_policy_lstm(params, obs_dim: int, path: str,
     return path
 
 
+def load_policy_as_jax(path: str, activation: str = "elu"):
+    """Load an exported TorchScript actor back as a pure-JAX callable.
+
+    The sys-ID trainers replay the deployed policy INSIDE jitted rollouts
+    (the reference replayed its exported ONNX policy via onnxruntime in a
+    subprocess, simulate_trajectory.py:45-59 — host calls can't live inside
+    a jitted scan, so we transplant the weights back to jnp).
+    """
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    mod = torch.jit.load(path)
+    layers = []
+    for name, p in mod.named_parameters():
+        # nn.Sequential naming: '<idx>.weight' / '<idx>.bias'
+        if name.endswith("weight"):
+            layers.append([np.asarray(p.detach().numpy()), None])
+        else:
+            layers[-1][1] = np.asarray(p.detach().numpy())
+    acts = {"elu": jax.nn.elu, "relu": jax.nn.relu, "tanh": jnp.tanh}
+    act = acts[activation]
+    Ws = [jnp.asarray(w.T) for w, _ in layers]
+    bs = [jnp.asarray(b) for _, b in layers]
+
+    def policy(obs):
+        x = obs
+        for i, (W, b) in enumerate(zip(Ws, bs)):
+            x = x @ W + b
+            if i < len(Ws) - 1:
+                x = act(x)
+        return x
+
+    return policy
+
+
 def load_onnx_policy(path: str):
     """onnxruntime session -> policy callable (simulate_trajectory.py:45-59).
 

@@ -52,11 +52,9 @@ def main():
           f"{[v.shape[0] for v in buckets.values()]}")
 
     if args.policy:
-        from pointfoot_tpu.export.onnx import load_onnx_policy
+        from pointfoot_tpu.export.onnx import load_policy_as_jax
 
-        raw = load_onnx_policy(args.policy)
-        policy_fn = lambda obs: jnp.asarray(
-            np.stack([raw(np.asarray(o)) for o in np.asarray(obs)]))
+        policy_fn = load_policy_as_jax(args.policy)
     else:
         policy_fn = lambda obs: jnp.zeros(obs.shape[:-1] + (6,))
 
@@ -73,8 +71,8 @@ def main():
         for cmd, data in buckets.items():
             if data.shape[0] <= args.min_bucket:
                 continue
-            # (N,1,27) -> (T,B=1,27) window source
-            traj = jnp.asarray(np.moveaxis(data, 1, 0))[:, :1, :]
+            # bucket data is (N, 1, 27) == (T, B=1, 27) window source
+            traj = jnp.asarray(data)
             wins = chunk_windows(
                 traj[: trainer.sim_length * 3], chunk=trainer.chunk,
                 overlap=trainer.overlap)

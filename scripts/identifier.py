@@ -39,13 +39,9 @@ def main():
 
     env = task_registry.make_env("pointfoot_flat", num_envs=args.batch)
     if args.policy:
-        import numpy as np
+        from pointfoot_tpu.export.onnx import load_policy_as_jax
 
-        from pointfoot_tpu.export.onnx import load_onnx_policy
-
-        raw = load_onnx_policy(args.policy)
-        policy_fn = lambda obs: jnp.asarray(
-            np.stack([raw(np.asarray(o)) for o in np.asarray(obs)]))
+        policy_fn = load_policy_as_jax(args.policy)
     else:
         policy_fn = lambda obs: jnp.zeros(obs.shape[:-1] + (6,))
 

@@ -22,6 +22,26 @@ def test_torchscript_export_parity(tmp_path):
     np.testing.assert_allclose(jax_out, torch_out, atol=1e-5)
 
 
+def test_policy_reimport_exact(tmp_path):
+    """Export -> TorchScript -> reimport as pure JAX must be bit-exact
+    (the sys-ID trainers replay the deployed policy inside jitted scans)."""
+    from pointfoot_tpu.export.onnx import (
+        export_policy_torchscript, load_policy_as_jax)
+    from pointfoot_tpu.rl.networks import ActorCritic
+
+    net = ActorCritic(num_actions=6, actor_hidden=(32, 16),
+                      critic_hidden=(16,))
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 27)),
+                      jnp.zeros((1, 27)))
+    path = export_policy_torchscript(params, 27, str(tmp_path / "p.pt"))
+    pol = load_policy_as_jax(path)
+    obs = jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, 27)).astype(np.float32))
+    a = np.asarray(net.apply(params, obs, method=net.act_mean))
+    b = np.asarray(jax.jit(pol)(obs))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_onnx_export_fallback(tmp_path):
     from pointfoot_tpu.export.onnx import export_policy_as_onnx
     from pointfoot_tpu.rl.networks import ActorCritic
