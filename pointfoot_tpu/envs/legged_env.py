@@ -549,6 +549,16 @@ class LeggedEnv:
         term_force = contact_force[:, jnp.asarray(self.termination_idx), :]
         terminate = jnp.any(
             jnp.linalg.norm(term_force, axis=-1) > 1.0, axis=-1)
+        # NaN quarantine: a numerically exploded env must reset, not poison
+        # the batch (long randomized runs can hit pathological states)
+        bad = ~(
+            jnp.all(jnp.isfinite(phys.base_pos), axis=-1)
+            & jnp.all(jnp.isfinite(phys.base_quat), axis=-1)
+            & jnp.all(jnp.isfinite(phys.qpos), axis=-1)
+            & jnp.all(jnp.isfinite(phys.qvel), axis=-1)
+            & jnp.all(jnp.isfinite(phys.base_lin_vel), axis=-1)
+            & jnp.all(jnp.isfinite(phys.base_ang_vel), axis=-1))
+        terminate = terminate | bad
         time_out = state.episode_step > self.max_episode_length
         done = terminate | time_out
         state = state.replace(terminate=terminate, time_out=time_out)
@@ -563,6 +573,9 @@ class LeggedEnv:
             done=done, time_out=time_out, state=state,
         )
         reward, term_values = self._compute_reward(ctx)
+        # quarantined (non-finite) envs must not leak NaN into the PPO batch
+        reward = jnp.nan_to_num(reward)
+        term_values = jnp.nan_to_num(term_values)
         episode_sums = state.episode_sums + term_values
         state = state.replace(episode_sums=episode_sums)
 
@@ -796,6 +809,9 @@ class LeggedEnv:
             qpos=jnp.where(d3, qpos_new, phys.qpos),
             qvel=jnp.where(d3, jnp.zeros_like(phys.qvel), phys.qvel),
         )
+        # scrub any residual non-finite values (quarantined envs reset above;
+        # where(NaN-cond) keeps NaN lanes alive without this)
+        phys = jax.tree.map(jnp.nan_to_num, phys)
 
         state = state.replace(
             physics=phys,

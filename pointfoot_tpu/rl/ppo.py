@@ -82,8 +82,11 @@ class PPO:
     def __init__(self, network, cfg: AlgorithmCfg):
         self.network = network
         self.cfg = cfg
-        # base optimizer; LR is injected per-update (adaptive schedule)
+        # base optimizer; LR is injected per-update (adaptive schedule).
+        # zero_nans guards the optimizer state against a single exploded
+        # minibatch (rare pathological physics states in long runs).
         self.tx = optax.chain(
+            optax.zero_nans(),
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.scale_by_adam(),
             optax.scale_by_learning_rate(1.0),  # lr applied manually
