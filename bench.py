@@ -48,7 +48,10 @@ def main_mpc():
     cmd = jnp.zeros((B, 3))
     contact = jnp.ones((B, len(feet)))
 
-    use_pallas = os.environ.get("BENCH_SRB_PALLAS") == "1"
+    # fused Pallas SRB-LQR kernel by default on TPU (8.4x the XLA path,
+    # 0.6% f32 parity); BENCH_SRB_PALLAS=0 forces the XLA solver
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_pallas = os.environ.get("BENCH_SRB_PALLAS", "1" if on_tpu else "0") == "1"
 
     @jax.jit
     def tick(p):
