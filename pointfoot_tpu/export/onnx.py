@@ -11,8 +11,6 @@ artifacts are drop-in for the reference's onnxruntime deployment pipeline
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 
 

@@ -9,9 +9,8 @@ iterations.  Batched over scenarios with vmap — the BASELINE.json target is
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ the generator parameters — real gradient-based sys-ID.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

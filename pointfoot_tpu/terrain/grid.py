@@ -16,7 +16,7 @@ unreachable with 5-entry proportions (SURVEY.md quirks #5 — we support all 8).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ patch, one PNG per frame or an animated GIF via pillow.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
