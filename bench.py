@@ -127,14 +127,20 @@ def main():
     state = env.init_state(jax.random.PRNGKey(0))
 
     def do_steps(state, key):
-        def body(carry, k):
+        # deterministic time-varying actions: the metric is ENV steps/s, and
+        # jax.random.normal (threefry) would add ~25% unrelated cost; the
+        # env's internal randomness (noise, resets, pushes) still runs
+        phase = jax.random.uniform(key, (NUM_ENVS, env.num_actions)) * 6.28
+
+        def body(carry, t):
             s, _ = carry
-            a = jax.random.normal(k, (NUM_ENVS, env.num_actions)) * 0.2
+            a = 0.2 * jnp.sin(phase + 0.1 * t)
             s, out = env.step(s, a)
             return (s, out.reward), ()
 
-        keys = jax.random.split(key, STEPS_PER_ITER)
-        (state, rew), _ = jax.lax.scan(body, (state, jnp.zeros(NUM_ENVS)), keys)
+        (state, rew), _ = jax.lax.scan(
+            body, (state, jnp.zeros(NUM_ENVS)),
+            jnp.arange(STEPS_PER_ITER, dtype=jnp.float32))
         return state, rew
 
     # donate the env state: in-place buffer reuse, like the real train loop

@@ -585,6 +585,7 @@ class LeggedEnv:
             "time_outs": time_out,
             "terminate": terminate,
             "num_resets": jnp.sum(done),
+            "num_nan_quarantined": jnp.sum(bad),
             "episode_rew": jnp.where(
                 jnp.sum(done) > 0,
                 jnp.sum(jnp.where(done[:, None], episode_sums, 0.0), axis=0)
@@ -676,9 +677,12 @@ class LeggedEnv:
                 elif priv.shape[-1] == obs.shape[-1]:
                     priv = priv + noise
         clip = cfg.normalization.clip_observations
-        obs = jnp.clip(obs, -clip, clip)
+        # nan_to_num before clip: quarantined envs can leave one step of
+        # stale non-finite height/obs values (reference reuses the stale
+        # height buffer too); never hand NaN to the policy
+        obs = jnp.clip(jnp.nan_to_num(obs), -clip, clip)
         if priv is not None:
-            priv = jnp.clip(priv, -clip, clip)
+            priv = jnp.clip(jnp.nan_to_num(priv), -clip, clip)
         return obs, priv
 
     # --------------------------------------------------------------- rewards
