@@ -142,12 +142,28 @@ def srb_problem(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
         phys.base_ang_vel,
     ]) - x_ref
 
-    # gravity feedforward: nominal stance forces support the weight
-    n_stance = jnp.maximum(jnp.sum(contact), 1.0)
-    f_ff = jnp.concatenate([
-        contact[i] * jnp.asarray([0.0, 0.0, 9.81]) * mass / n_stance
-        for i in range(foot_rel.shape[0])])
-    c_tot = c + L @ f_ff  # drift with feedforward applied
+    # gravity feedforward: MOMENT-BALANCED static force distribution.
+    # A uniform weight split leaves a residual pitch/roll moment whenever
+    # the feet are not directly under the CoM; the LQR then discovers that
+    # REDUCING normal force reduces the tipping moment (the SRB model does
+    # not know that losing contact means falling) and plans itself to the
+    # ground.  Solve min ||f|| s.t. sum f = m g, sum r x f = 0 instead.
+    nf = foot_rel.shape[0]
+    mdim = 3 * nf
+    A_rows = []
+    for i in range(nf):
+        blk = jnp.concatenate(
+            [contact[i] * spatial.skew(foot_rel[i]),
+             contact[i] * jnp.eye(3)], axis=0)  # (6, 3)
+        A_rows.append(blk)
+    A_stat = jnp.concatenate(A_rows, axis=1)  # (6, m)
+    b_stat = jnp.concatenate(
+        [jnp.zeros(3), jnp.asarray([0.0, 0.0, 9.81]) * mass])
+    AAt = A_stat @ A_stat.T + 1e-6 * jnp.eye(6)
+    from pointfoot_tpu.ops import linalg as _lo
+
+    f_ff = A_stat.T @ _lo.chol_solve(AAt, b_stat)
+    c_tot = c + L @ f_ff  # drift with feedforward applied (now ~zero)
     return F, c_tot, L, Xd, Ud, 5.0 * Xd, x0, f_ff
 
 

@@ -83,10 +83,24 @@ class PPO:
         self.network = network
         self.cfg = cfg
         # base optimizer; LR is injected per-update (adaptive schedule).
-        # zero_nans guards the optimizer state against a single exploded
-        # minibatch (rare pathological physics states in long runs).
+        # zero_non_finite guards the optimizer state against an exploded
+        # minibatch: optax.zero_nans misses INF, and clip_by_global_norm
+        # maps an inf gradient to NaN (inf * 0) which then corrupts the
+        # Adam moments PERMANENTLY (observed: an 8k-iteration run froze at
+        # it ~2000 with every subsequent update silently zeroed).
+        def zero_non_finite():
+            def init_fn(params):
+                return optax.EmptyState()
+
+            def update_fn(updates, state, params=None):
+                updates = jax.tree.map(
+                    lambda g: jnp.where(jnp.isfinite(g), g, 0.0), updates)
+                return updates, state
+
+            return optax.GradientTransformation(init_fn, update_fn)
+
         self.tx = optax.chain(
-            optax.zero_nans(),
+            zero_non_finite(),
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.scale_by_adam(),
             optax.scale_by_learning_rate(1.0),  # lr applied manually
