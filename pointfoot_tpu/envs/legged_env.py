@@ -573,9 +573,14 @@ class LeggedEnv:
             done=done, time_out=time_out, state=state,
         )
         reward, term_values = self._compute_reward(ctx)
-        # quarantined (non-finite) envs must not leak NaN into the PPO batch
-        reward = jnp.nan_to_num(reward)
-        term_values = jnp.nan_to_num(term_values)
+        # quarantined (non-finite) envs must not leak into the PPO batch:
+        # zero their rewards entirely (nan_to_num alone maps inf to 3.4e38,
+        # which still poisons GAE), and clamp the rest defensively
+        reward = jnp.where(bad, 0.0, jnp.nan_to_num(reward))
+        reward = jnp.clip(reward, -1e4, 1e4)
+        term_values = jnp.where(bad[:, None], 0.0,
+                                jnp.nan_to_num(term_values))
+        term_values = jnp.clip(term_values, -1e4, 1e4)
         episode_sums = state.episode_sums + term_values
         state = state.replace(episode_sums=episode_sums)
 

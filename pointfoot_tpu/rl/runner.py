@@ -91,6 +91,7 @@ class OnPolicyRunner:
                 "num_resets": out.extras["num_resets"],
                 "terrain_level": out.extras["terrain_level"],
                 "max_command_x": out.extras["max_command_x"],
+                "num_nan_quarantined": out.extras["num_nan_quarantined"],
             }
             return (env_state, out.obs, next_priv), (trans, info)
 
@@ -120,6 +121,8 @@ class OnPolicyRunner:
         ) / jnp.maximum(n_resets, 1)
         metrics["episode_rew"] = ep_rew
         metrics["num_resets"] = n_resets
+        metrics["num_nan_quarantined"] = jnp.sum(
+            infos["num_nan_quarantined"])
         metrics["terrain_level"] = infos["terrain_level"][-1]
         metrics["max_command_x"] = infos["max_command_x"][-1]
         return train_state, env_state, obs, priv_obs, metrics
@@ -188,6 +191,7 @@ class OnPolicyRunner:
             "lr": float(m["learning_rate"]),
             "noise_std": float(m["noise_std"]),
             "terrain_level": float(m["terrain_level"]),
+            "nan_quarantined": int(m["num_nan_quarantined"]),
         }
         ep = np.asarray(m["episode_rew"])
         for name, val in zip(self.env.reward_names, ep):
