@@ -235,6 +235,12 @@ class AlgorithmCfg:
     lam: float = 0.95
     desired_kl: float = 0.01
     max_grad_norm: float = 1.0
+    # adaptive-LR corridor. rsl_rl rails at 1e-2; observed failure mode at
+    # 4096 envs: after a rare physics-explosion perturbs the policy, the
+    # x1.5-per-minibatch growth compounds to the rail within one iteration
+    # and the next updates destroy the policy. 1e-3 keeps long runs stable.
+    max_lr: float = 1e-3
+    min_lr: float = 1e-5
 
 
 @dataclass(frozen=True)

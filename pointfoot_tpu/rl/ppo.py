@@ -190,11 +190,11 @@ class PPO:
                 lr = ts.learning_rate
                 if cfg.schedule == "adaptive":
                     lr = jnp.where(metrics["kl"] > cfg.desired_kl * 2.0,
-                                   jnp.maximum(lr / 1.5, 1e-5), lr)
+                                   jnp.maximum(lr / 1.5, cfg.min_lr), lr)
                     lr = jnp.where(
                         (metrics["kl"] < cfg.desired_kl / 2.0)
                         & (metrics["kl"] > 0.0),
-                        jnp.minimum(lr * 1.5, 1e-2), lr)
+                        jnp.minimum(lr * 1.5, cfg.max_lr), lr)
                 ts = ts.replace(params=new_params, opt_state=new_opt,
                                 learning_rate=lr,
                                 update_count=ts.update_count + 1)
