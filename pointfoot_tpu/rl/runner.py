@@ -280,7 +280,22 @@ class OnPolicyRunner:
                         else type(template)(seq))
             return jnp.asarray(data)
 
-        new_train = graft(train_state, raw["train_state"])
+        try:
+            new_train = graft(train_state, raw["train_state"])
+        except (AttributeError, KeyError, TypeError, IndexError):
+            # optimizer-format drift between checkpoint and current code:
+            # restore params + LR, keep a FRESH optimizer state
+            import warnings
+
+            warnings.warn(
+                "checkpoint optimizer state incompatible with the current "
+                "optimizer chain; restoring params/LR with fresh moments")
+            new_train = train_state.replace(
+                params=graft(train_state.params,
+                             raw["train_state"]["params"]),
+                learning_rate=jnp.asarray(
+                    raw["train_state"]["learning_rate"]),
+            )
         saved_env = raw["env_state"]
         shapes_match = all(
             np.asarray(a).shape == np.asarray(b).shape
