@@ -550,14 +550,15 @@ class LeggedEnv:
         terminate = jnp.any(
             jnp.linalg.norm(term_force, axis=-1) > 1.0, axis=-1)
         # NaN quarantine: a numerically exploded env must reset, not poison
-        # the batch (long randomized runs can hit pathological states)
-        bad = ~(
-            jnp.all(jnp.isfinite(phys.base_pos), axis=-1)
-            & jnp.all(jnp.isfinite(phys.base_quat), axis=-1)
-            & jnp.all(jnp.isfinite(phys.qpos), axis=-1)
-            & jnp.all(jnp.isfinite(phys.qvel), axis=-1)
-            & jnp.all(jnp.isfinite(phys.base_lin_vel), axis=-1)
-            & jnp.all(jnp.isfinite(phys.base_ang_vel), axis=-1))
+        # the batch (long randomized runs can hit pathological states).
+        # One fused add-reduce: any NaN/Inf propagates to a non-finite sum
+        # (inf + -inf = NaN), so a single isfinite test covers all fields.
+        probe = (
+            jnp.sum(phys.base_pos, axis=-1) + jnp.sum(phys.base_quat, axis=-1)
+            + jnp.sum(phys.qpos, axis=-1) + jnp.sum(phys.qvel, axis=-1)
+            + jnp.sum(phys.base_lin_vel, axis=-1)
+            + jnp.sum(phys.base_ang_vel, axis=-1))
+        bad = ~jnp.isfinite(probe)
         terminate = terminate | bad
         time_out = state.episode_step > self.max_episode_length
         done = terminate | time_out
@@ -817,10 +818,13 @@ class LeggedEnv:
             base_ang_vel=jnp.where(d3, vel6[:, 3:], phys.base_ang_vel),
             qpos=jnp.where(d3, qpos_new, phys.qpos),
             qvel=jnp.where(d3, jnp.zeros_like(phys.qvel), phys.qvel),
+            # contact_force is the one field the masked reset above does not
+            # replace — clear it too so a quarantined (NaN) env leaves no
+            # residue anywhere (bad => done, so every non-finite lane is
+            # fully rewritten; no tree-wide nan_to_num pass needed)
+            contact_force=jnp.where(
+                done[:, None, None], 0.0, phys.contact_force),
         )
-        # scrub any residual non-finite values (quarantined envs reset above;
-        # where(NaN-cond) keeps NaN lanes alive without this)
-        phys = jax.tree.map(jnp.nan_to_num, phys)
 
         state = state.replace(
             physics=phys,
@@ -847,7 +851,17 @@ class LeggedEnv:
     # ---------------------------------------------------------- sys-ID hooks
 
     def update_frictions(self, state: EnvState, friction) -> EnvState:
-        """Pin per-joint/sphere ground friction (point_foot.py:103-108)."""
+        """Pin per-joint DOF dry friction (point_foot.py:103-108 sets
+        dof_props["friction"][i] per joint — the 6-d quantity the GAN/
+        identifier propose, GAN.py:71-83).  Accepts scalar, (nj,), or
+        (B, nj); per-env values flow into the dynamics as pytree leaves."""
+        f = jnp.broadcast_to(
+            jnp.asarray(friction), state.params.joint_friction.shape)
+        return state.replace(params=state.params.replace(joint_friction=f))
+
+    def update_ground_friction(self, state: EnvState, friction) -> EnvState:
+        """Pin contact (ground) Coulomb friction per collision sphere — the
+        domain-randomization axis (point_foot.py:411-435)."""
         f = jnp.broadcast_to(jnp.asarray(friction), state.params.friction.shape)
         return state.replace(params=state.params.replace(friction=f))
 

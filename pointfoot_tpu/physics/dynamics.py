@@ -232,6 +232,7 @@ def bias_forces(
 
 def _applied_generalized_force(
     model: RobotModel,
+    params: PhysicsParams,
     state: PhysicsState,
     joint_torque: jax.Array,
     external_force: jax.Array | None,
@@ -242,8 +243,10 @@ def _applied_generalized_force(
     nv = model.nv
     tau = jnp.zeros(nv, dtype=dtype)
     tau = tau.at[6:].set(joint_torque)
-    # URDF dry friction (smoothed sign); viscous joint damping is implicit
-    tau = tau.at[6:].add(-model.joint_friction * jnp.tanh(state.qvel / 0.05))
+    # per-env DOF dry friction (smoothed sign) — the sys-ID degree of freedom
+    # the reference sets via dof_props["friction"][i] (point_foot.py:103-108);
+    # viscous joint damping is implicit
+    tau = tau.at[6:].add(-params.joint_friction * jnp.tanh(state.qvel / 0.05))
     # joint-limit compliance (PhysX enforces hard limits; we use a stiff
     # one-sided spring, cf. reference dof_pos_limits handling)
     k_lim = 200.0
@@ -282,7 +285,8 @@ def forward_dynamics(
     M = mass_matrix(model, params, kin, S, origin)
     C = bias_forces(model, params, kin, S, state.qvel, body_vel, origin, gravity)
     tau = _applied_generalized_force(
-        model, state, joint_torque, external_force, external_torque, M.dtype
+        model, params, state, joint_torque, external_force, external_torque,
+        M.dtype
     )
     tau = tau.at[6:].add(-model.joint_damping * state.qvel)
     f_contact, tau_contact = contact_mod.contact_forces(
@@ -313,7 +317,8 @@ def assemble_velocity_solve(
     M = mass_matrix(model, params, kin, S, origin)
     C = bias_forces(model, params, kin, S, state.qvel, body_vel, origin, gravity)
     tau = _applied_generalized_force(
-        model, state, joint_torque, external_force, external_torque, M.dtype
+        model, params, state, joint_torque, external_force, external_torque,
+        M.dtype
     )
 
     terms = contact_mod.contact_terms(
@@ -402,16 +407,33 @@ def step_batched(
 
     With `solver=pallas_chol_solve` (ops/pallas) the (B, nv, nv) velocity
     systems factor in a lane-batched Pallas kernel; default is the unrolled
-    XLA path (identical results).
+    XLA path (identical results).  On TPU at large batch the assembly is
+    emitted directly in the kernel's (nv*nv, B) batch-minor layout
+    (``vmap out_axes``) so no HBM transpose sits between assembly and solve.
     """
+    ext = (external_force if external_force is not None
+           else jnp.zeros_like(state.base_pos))
+    assemble = lambda p, s, t, f: assemble_velocity_solve(
+        model, p, s, t, height_fn, dt, f, None, gravity)
+
+    B = state.base_pos.shape[0]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if solver is None and on_tpu and B >= 128:
+        from pointfoot_tpu.ops.pallas.cholesky import pallas_chol_solve_lanes
+
+        # batch-minor assembly: A (nv, nv, B), rhs (nv, B), terms batch-major
+        A, rhs, terms = jax.vmap(assemble, out_axes=(2, 1, 0))(
+            params, state, joint_torque, ext)
+        nv = model.nv
+        u_t = pallas_chol_solve_lanes(A.reshape(nv * nv, B), rhs)
+        return jax.vmap(
+            lambda s, u, tm: finish_step(model, s, u, tm, dt),
+            in_axes=(0, 1, 0),
+        )(state, u_t, terms)
+
     if solver is None:
         solver = linalg_ops.chol_solve
-    A, rhs, terms = jax.vmap(
-        lambda p, s, t, f: assemble_velocity_solve(
-            model, p, s, t, height_fn, dt, f, None, gravity)
-    )(params, state, joint_torque,
-      external_force if external_force is not None
-      else jnp.zeros_like(state.base_pos))
+    A, rhs, terms = jax.vmap(assemble)(params, state, joint_torque, ext)
     u_new = solver(A, rhs)
     return jax.vmap(
         lambda s, u, tm: finish_step(model, s, u, tm, dt)

@@ -94,8 +94,10 @@ class PhysicsParams:
     """
 
     friction: jax.Array  # (..., nc) ground Coulomb friction per collision sphere
+    joint_friction: jax.Array  # (..., nj) per-joint DOF dry friction — the
+    # 6-d sys-ID degree of freedom the reference identifies via
+    # dof_props["friction"][i] (point_foot.py:103-108, GAN.py:71-83)
     restitution: jax.Array  # (...,)
-    base_mass_scale: jax.Array  # (...,) added mass / nominal fraction applied to base
     added_mass: jax.Array  # (...,) kg added to base
     com_offset: jax.Array  # (..., 3) base CoM shift, body frame
     kp: jax.Array  # (..., nj)
@@ -124,8 +126,8 @@ class PhysicsParams:
 
         return cls(
             friction=bcast(friction, (nc,)),
+            joint_friction=bcast(model.joint_friction, (nj,)),
             restitution=ones * 0.0,
-            base_mass_scale=ones,
             added_mass=ones * 0.0,
             com_offset=bcast(np.zeros(3), (3,)),
             kp=bcast(kp * np.ones(nj), (nj,)),

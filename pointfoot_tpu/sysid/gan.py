@@ -85,9 +85,10 @@ class GANTrainer:
         return fric, mass, com
 
     def _simulate(self, env_state, fric, mass, com, cmd):
-        nc = len(self.env.model.collision_body)
+        # per-joint DOF friction, exactly the 6-d quantity the generator
+        # proposes (reference GAN.py:71-83 -> point_foot.py:103-108)
         fric_full = jnp.broadcast_to(
-            jnp.mean(fric), (self.env.num_envs, nc))
+            fric, (self.env.num_envs, self.env.model.nj))
         traj, _ = simulate_trajectory(
             self.env, env_state, self.policy_fn, fric_full, mass[0], com,
             cmd, length=self.sim_length, warmup=self.warmup)
@@ -100,12 +101,14 @@ class GANTrainer:
 
         real_windows: (N, chunk, 27) windows of real data for this command.
         Returns (new GANState, metrics dict)."""
-        k_prop, k_sim = jax.random.split(key)
+        k_fric, k_mass, k_com = jax.random.split(key, 3)
 
         def gen_loss_fn(gf, gm, gc):
-            fric = self.gen_fric.apply(gf, jax.random.normal(k_prop, (6,)))
-            mass = self.gen_mass.apply(gm, jax.random.normal(k_prop, (1,)))
-            com = self.gen_com.apply(gc, jax.random.normal(k_prop, (3,)))
+            # independent noise per generator (propose() splits the same way;
+            # a shared key would correlate the three proposals)
+            fric = self.gen_fric.apply(gf, jax.random.normal(k_fric, (6,)))
+            mass = self.gen_mass.apply(gm, jax.random.normal(k_mass, (1,)))
+            com = self.gen_com.apply(gc, jax.random.normal(k_com, (3,)))
             if not self.through_sim:
                 fric = jax.lax.stop_gradient(fric)
                 mass = jax.lax.stop_gradient(mass)

@@ -62,10 +62,9 @@ class IdentifierTrainer:
     def train_step(self, ident: IdentifierState, env_state, cmd, key):
         k_sample, k_drop = jax.random.split(key)
         target = self.sample_params(k_sample)  # (B, 10)
-        nc = len(self.env.model.collision_body)
-        fric = jnp.broadcast_to(
-            jnp.mean(target[:, :6], axis=-1, keepdims=True),
-            (self.env.num_envs, nc))
+        # per-env, per-joint DOF friction: each env simulates its own 6-d
+        # candidate (reference Identifier.py:17-27 -> point_foot.py:103-108)
+        fric = target[:, :6]
         traj, _ = simulate_trajectory(
             self.env, env_state, self.policy_fn, fric, target[:, 6],
             target[:, 7:10], cmd, length=self.window, warmup=self.warmup)

@@ -54,9 +54,9 @@ class WGANTrainer:
                          opt_critic=self.tx_critic.init(c))
 
     def _simulate(self, env_state, params10, cmd):
-        nc = len(self.env.model.collision_body)
-        fric = jnp.broadcast_to(jnp.mean(params10[:6]),
-                                (self.env.num_envs, nc))
+        # per-joint DOF friction (GAN.py:71-83 -> point_foot.py:103-108)
+        fric = jnp.broadcast_to(params10[:6],
+                                (self.env.num_envs, self.env.model.nj))
         traj, _ = simulate_trajectory(
             self.env, env_state, self.policy_fn, fric, params10[6],
             params10[7:10], cmd, length=self.sim_length, warmup=self.warmup)

@@ -121,7 +121,13 @@ def test_sysid_hooks(flat_env):
     (point_foot.py:103-129)."""
     env = flat_env
     state = env.init_state(jax.random.PRNGKey(6))
-    state = env.update_frictions(state, 0.77)
+    # 6-d per-joint DOF friction (reference sets dof_props["friction"][i])
+    fric6 = jnp.asarray([0.01, 0.05, 0.1, 0.15, 0.02, 0.08])
+    state = env.update_frictions(state, fric6)
+    np.testing.assert_allclose(
+        np.asarray(state.params.joint_friction),
+        np.broadcast_to(np.asarray(fric6), (env.num_envs, 6)))
+    state = env.update_ground_friction(state, 0.77)
     np.testing.assert_allclose(np.asarray(state.params.friction), 0.77)
     state = env.update_added_mass_and_base_com(state, 1.5, [0.01, 0.0, -0.01])
     np.testing.assert_allclose(np.asarray(state.params.added_mass), 1.5)
