@@ -48,28 +48,17 @@ def export_policy_as_onnx(params, obs_dim: int, path: str,
     """Flax ActorCritic params -> ONNX actor (opset 13, parity with
     export_policy_as_onnx.py:36-45).
 
-    If the `onnx` serializer package is unavailable in the environment, a
-    TorchScript artifact is written next to `path` instead (same network,
-    loadable by `load_onnx_policy`) and its path returned.
-    """
-    import torch
+    Serialized by the in-repo pure-python writer (export/onnx_writer.py) —
+    this image has neither the `onnx` package nor onnxruntime, so torch's
+    exporter cannot emit a real artifact.  The output is a standard opset-13
+    Gemm/Elu graph loadable by onnxruntime on the robot."""
+    from pointfoot_tpu.export.onnx_writer import write_mlp_onnx
 
-    model = _build_torch_actor(_actor_layers(params), activation)
-    dummy = torch.zeros(obs_dim)
-    try:
-        torch.onnx.export(
-            model, dummy, path, opset_version=opset,
-            input_names=["obs"], output_names=["actions"], dynamo=False)
-        return path
-    except Exception as e:  # onnx package missing in minimal images
-        import warnings
-
-        alt = path.rsplit(".", 1)[0] + ".pt"
-        warnings.warn(f"ONNX export unavailable ({e}); "
-                      f"writing TorchScript to {alt}")
-        traced = torch.jit.trace(model, torch.zeros(1, obs_dim))
-        traced.save(alt)
-        return alt
+    layers = _actor_layers(params)
+    if layers[0][0].shape[0] != obs_dim:
+        raise ValueError(
+            f"actor expects {layers[0][0].shape[0]}-d obs, got {obs_dim}")
+    return write_mlp_onnx(layers, path, activation=activation, opset=opset)
 
 
 def export_policy_torchscript(params, obs_dim: int, path: str,
@@ -189,7 +178,9 @@ def load_policy_as_jax(path: str, activation: str = "elu"):
 def load_onnx_policy(path: str):
     """onnxruntime session -> policy callable (simulate_trajectory.py:45-59).
 
-    Falls back to torch-loading a TorchScript file if onnxruntime is absent.
+    Without onnxruntime: real `.onnx` files decode through the in-repo
+    protobuf reader (export/onnx_writer.py) into a numpy forward pass;
+    `.pt` files torch-load as TorchScript.
     """
     try:
         import onnxruntime as ort  # type: ignore
@@ -202,12 +193,31 @@ def load_onnx_policy(path: str):
 
         return policy
     except ImportError:
-        import torch
+        pass
+    if path.endswith(".onnx"):
+        from pointfoot_tpu.export.onnx_writer import read_mlp_onnx
 
-        mod = torch.jit.load(path)
+        layers, activation, _, _, _ = read_mlp_onnx(path)
+        acts = {"elu": lambda x: np.where(x > 0, x, np.expm1(x)),
+                "relu": lambda x: np.maximum(x, 0.0),
+                "tanh": np.tanh, "linear": lambda x: x}
+        act = acts[activation]
 
         def policy(obs_np: np.ndarray) -> np.ndarray:
-            with torch.no_grad():
-                return mod(torch.from_numpy(obs_np.astype(np.float32))).numpy()
+            x = obs_np.astype(np.float32)
+            for i, (W, b) in enumerate(layers):
+                x = x @ W + b
+                if i < len(layers) - 1:
+                    x = act(x)
+            return x
 
         return policy
+    import torch
+
+    mod = torch.jit.load(path)
+
+    def policy(obs_np: np.ndarray) -> np.ndarray:
+        with torch.no_grad():
+            return mod(torch.from_numpy(obs_np.astype(np.float32))).numpy()
+
+    return policy

@@ -42,17 +42,51 @@ def test_policy_reimport_exact(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
-def test_onnx_export_fallback(tmp_path):
-    from pointfoot_tpu.export.onnx import export_policy_as_onnx
+def test_onnx_export_roundtrip(tmp_path):
+    """Real .onnx artifact (pure-python writer): re-parse the protobuf and
+    match the flax actor bit-for-bit through load_onnx_policy."""
+    from pointfoot_tpu.export.onnx import (
+        export_policy_as_onnx, load_onnx_policy)
+    from pointfoot_tpu.export.onnx_writer import read_mlp_onnx
     from pointfoot_tpu.rl.networks import ActorCritic
 
-    net = ActorCritic(num_actions=6, actor_hidden=(16,), critic_hidden=(16,))
+    net = ActorCritic(num_actions=6, actor_hidden=(64, 32),
+                      critic_hidden=(16,))
     params = net.init(jax.random.PRNGKey(1), jnp.zeros((1, 27)),
                       jnp.zeros((1, 27)))
     out = export_policy_as_onnx(params, 27, str(tmp_path / "p.onnx"))
-    import os
+    assert out.endswith(".onnx")
 
-    assert os.path.exists(out)
+    # structural decode: opset 13, Gemm/Elu graph, named IO
+    layers, activation, in_name, out_name, opset = read_mlp_onnx(out)
+    assert opset == 13 and activation == "elu"
+    assert in_name == "obs" and out_name == "actions"
+    assert [w.shape for w, _ in layers] == [(27, 64), (64, 32), (32, 6)]
+
+    obs = np.random.default_rng(0).normal(size=(5, 27)).astype(np.float32)
+    jax_out = np.asarray(net.apply(params, jnp.asarray(obs),
+                                   method=net.act_mean))
+    onnx_out = load_onnx_policy(out)(obs)
+    np.testing.assert_allclose(jax_out, onnx_out, atol=1e-6)
+
+
+def test_onnx_matches_torchscript_twin(tmp_path):
+    """The .onnx graph and the TorchScript export of the same params must
+    agree — cross-validates the hand-rolled serializer against torch."""
+    from pointfoot_tpu.export.onnx import (
+        export_policy_as_onnx, export_policy_torchscript, load_onnx_policy)
+    from pointfoot_tpu.rl.networks import ActorCritic
+
+    net = ActorCritic(num_actions=6, actor_hidden=(32, 16),
+                      critic_hidden=(16,))
+    params = net.init(jax.random.PRNGKey(2), jnp.zeros((1, 27)),
+                      jnp.zeros((1, 27)))
+    p_onnx = export_policy_as_onnx(params, 27, str(tmp_path / "p.onnx"))
+    p_ts = export_policy_torchscript(params, 27, str(tmp_path / "p.pt"))
+    obs = np.random.default_rng(3).normal(size=(8, 27)).astype(np.float32)
+    np.testing.assert_allclose(
+        load_onnx_policy(p_onnx)(obs), load_onnx_policy(p_ts)(obs),
+        atol=1e-5)
 
 
 def test_actuator_net_matches_torchscript():
