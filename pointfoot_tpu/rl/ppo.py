@@ -211,3 +211,125 @@ class PPO:
         metrics["mean_advantage"] = jnp.mean(advantages)
         metrics["mean_return"] = jnp.mean(returns)
         return train_state, metrics
+
+
+class RecurrentPPO(PPO):
+    """PPO for ActorCriticRecurrent: sequence minibatches + truncated BPTT.
+
+    rsl_rl's recurrent mode replays each trajectory minibatch through the
+    LSTM from the hidden state saved at rollout start (SURVEY.md §2.5,
+    reference helpers.py:193-219 export path).  TPU-native form: minibatch
+    over the ENV axis (sequences stay whole), `lax.scan` the LSTM over the
+    T-step window with done-masked carry resets, backprop through the whole
+    window.  The rollout's (T, B) layout is kept — no flatten/shuffle.
+    """
+
+    def _sequence_outputs(self, params, carry0, batch: Transition):
+        """Replay the recurrent net over a (T, mb) window -> mean/std/value."""
+        net = self.network
+
+        def step(carry, x):
+            obs, priv, done_prev = x
+            # reset carries at episode starts (done on the PREVIOUS step)
+            m = (1.0 - done_prev)[:, None]
+            carry = jax.tree.map(lambda c: c * m, carry)
+            carry, (mean, std, value) = net.apply(params, carry, obs, priv)
+            return carry, (mean, std, value)
+
+        # done_prev[t] = done[t-1]; the rollout's carry0 already reflects
+        # resets up to t=0
+        done_prev = jnp.concatenate(
+            [jnp.zeros_like(batch.done[:1]), batch.done[:-1]], axis=0
+        ).astype(batch.obs.dtype)
+        _, (mean, std, value) = jax.lax.scan(
+            step, carry0, (batch.obs, batch.priv_obs, done_prev))
+        return mean, std, value
+
+    def _loss_seq(self, params, carry0, batch: Transition, advantages,
+                  returns):
+        cfg = self.cfg
+        mean, std, value = self._sequence_outputs(params, carry0, batch)
+        log_prob = gaussian_log_prob(mean, std, batch.action)
+        ratio = jnp.exp(log_prob - batch.log_prob)
+
+        norm_adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        surr1 = ratio * norm_adv
+        surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param,
+                         1.0 + cfg.clip_param) * norm_adv
+        surrogate_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+
+        if cfg.use_clipped_value_loss:
+            value_clipped = batch.value + jnp.clip(
+                value - batch.value, -cfg.clip_param, cfg.clip_param)
+            v_loss = jnp.maximum(
+                (value - returns) ** 2, (value_clipped - returns) ** 2)
+        else:
+            v_loss = (value - returns) ** 2
+        value_loss = jnp.mean(v_loss)
+        entropy = jnp.mean(gaussian_entropy(std))
+        loss = (surrogate_loss + cfg.value_loss_coef * value_loss
+                - cfg.entropy_coef * entropy)
+        kl = jnp.mean(jnp.sum(
+            jnp.log(std / batch.std + 1e-5)
+            + (batch.std**2 + (batch.mean - mean) ** 2) / (2.0 * std**2)
+            - 0.5,
+            axis=-1))
+        metrics = dict(surrogate_loss=surrogate_loss, value_loss=value_loss,
+                       entropy=entropy, kl=kl)
+        return loss, metrics
+
+    def update(self, train_state: TrainState, rollout: Transition,
+               last_value: jax.Array, key: jax.Array, carry0=None
+               ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """Epochs x env-axis minibatches with BPTT over the T-step window."""
+        assert carry0 is not None, "RecurrentPPO.update needs rollout carry0"
+        cfg = self.cfg
+        T, B = rollout.reward.shape
+        advantages, returns = compute_gae(
+            rollout.reward, rollout.done, rollout.time_out, rollout.value,
+            last_value, cfg.gamma, cfg.lam)
+        mb_envs = B // cfg.num_mini_batches
+
+        def epoch_body(carry, ep_key):
+            ts = carry
+            perm = jax.random.permutation(ep_key, B)
+
+            def mb_body(ts, mb_idx):
+                idx = jax.lax.dynamic_slice_in_dim(
+                    perm, mb_idx * mb_envs, mb_envs)
+                mb = jax.tree.map(lambda x: x[:, idx], rollout)
+                mb_carry = jax.tree.map(lambda c: c[idx], carry0)
+                mb_adv = advantages[:, idx]
+                mb_ret = returns[:, idx]
+                (loss, metrics), grads = jax.value_and_grad(
+                    self._loss_seq, has_aux=True)(
+                    ts.params, mb_carry, mb, mb_adv, mb_ret)
+                updates, new_opt = self.tx.update(grads, ts.opt_state,
+                                                  ts.params)
+                updates = jax.tree.map(lambda u: u * ts.learning_rate,
+                                       updates)
+                new_params = optax.apply_updates(ts.params, updates)
+                lr = ts.learning_rate
+                if cfg.schedule == "adaptive":
+                    lr = jnp.where(metrics["kl"] > cfg.desired_kl * 2.0,
+                                   jnp.maximum(lr / 1.5, cfg.min_lr), lr)
+                    lr = jnp.where(
+                        (metrics["kl"] < cfg.desired_kl / 2.0)
+                        & (metrics["kl"] > 0.0),
+                        jnp.minimum(lr * 1.5, cfg.max_lr), lr)
+                ts = ts.replace(params=new_params, opt_state=new_opt,
+                                learning_rate=lr,
+                                update_count=ts.update_count + 1)
+                return ts, metrics
+
+            ts, metrics = jax.lax.scan(
+                mb_body, ts, jnp.arange(cfg.num_mini_batches))
+            return ts, metrics
+
+        keys = jax.random.split(key, cfg.num_learning_epochs)
+        train_state, metrics = jax.lax.scan(epoch_body, train_state, keys)
+        metrics = jax.tree.map(jnp.mean, metrics)
+        metrics["learning_rate"] = train_state.learning_rate
+        metrics["mean_advantage"] = jnp.mean(advantages)
+        metrics["mean_return"] = jnp.mean(returns)
+        return train_state, metrics

@@ -35,19 +35,40 @@ from pointfoot_tpu.rl.ppo import PPO, TrainState, Transition
 class OnPolicyRunner:
     def __init__(self, env, train_cfg: TrainCfg, log_dir: Optional[str] = None,
                  mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a 'dp' axis.  When given,
+        `learn` shards the env batch over it (params/opt replicate) and the
+        jitted iteration runs SPMD — gradient and metric reductions become
+        XLA collectives over ICI/DCN (SURVEY.md §2.6).  Logging and
+        checkpointing happen on process 0 only."""
         self.env = env
         self.cfg = train_cfg
         self.log_dir = log_dir
         self.mesh = mesh
         p = train_cfg.policy
-        self.network = ActorCritic(
-            num_actions=env.num_actions,
-            actor_hidden=p.actor_hidden_dims,
-            critic_hidden=p.critic_hidden_dims,
-            activation=p.activation,
-            init_noise_std=p.init_noise_std,
-        )
-        self.ppo = PPO(self.network, train_cfg.algorithm)
+        self.recurrent = (
+            train_cfg.runner.policy_class_name == "ActorCriticRecurrent")
+        if self.recurrent:
+            from pointfoot_tpu.rl.networks import ActorCriticRecurrent
+            from pointfoot_tpu.rl.ppo import RecurrentPPO
+
+            self.network = ActorCriticRecurrent(
+                num_actions=env.num_actions,
+                rnn_hidden=p.rnn_hidden_size,
+                actor_hidden=p.actor_hidden_dims,
+                critic_hidden=p.critic_hidden_dims,
+                activation=p.activation,
+                init_noise_std=p.init_noise_std,
+            )
+            self.ppo = RecurrentPPO(self.network, train_cfg.algorithm)
+        else:
+            self.network = ActorCritic(
+                num_actions=env.num_actions,
+                actor_hidden=p.actor_hidden_dims,
+                critic_hidden=p.critic_hidden_dims,
+                activation=p.activation,
+                init_noise_std=p.init_noise_std,
+            )
+            self.ppo = PPO(self.network, train_cfg.algorithm)
         self.current_iteration = 0
         self._writer = None
         self._jit_iter = None
@@ -58,8 +79,14 @@ class OnPolicyRunner:
         k_net, k_env = jax.random.split(key)
         obs_dim = self.env.num_obs
         priv_dim = self.env.num_privileged_obs or obs_dim
-        params = self.network.init(
-            k_net, jnp.zeros((1, obs_dim)), jnp.zeros((1, priv_dim)))
+        if self.recurrent:
+            carry = self.network.initialize_carry((1,))
+            params = self.network.init(
+                k_net, carry, jnp.zeros((1, obs_dim)),
+                jnp.zeros((1, priv_dim)))
+        else:
+            params = self.network.init(
+                k_net, jnp.zeros((1, obs_dim)), jnp.zeros((1, priv_dim)))
         train_state = self.ppo.init_train_state(params)
         env_state = self.env.init_state(k_env)
         return train_state, env_state
@@ -100,6 +127,44 @@ class OnPolicyRunner:
             step_fn, (env_state, obs, priv_obs), keys)
         return env_state, obs, priv_obs, rollout, infos
 
+    def rollout_recurrent(self, train_state: TrainState, env_state, obs,
+                          priv_obs, carry, key):
+        """Recurrent rollout: LSTM carries threaded through the scan and
+        reset on done; returns carry0 (= input carry) for BPTT replay."""
+        T = self.cfg.runner.num_steps_per_env
+        net = self.network
+
+        def step_fn(sc, step_key):
+            env_state, obs, priv_obs, carry = sc
+            carry, (mean, std, value) = net.apply(
+                train_state.params, carry, obs, priv_obs)
+            action = sample_action(mean, std, step_key)
+            log_prob = gaussian_log_prob(mean, std, action)
+            env_state, out = self.env.step(env_state, action)
+            # zero carries of envs that just reset (episode boundary)
+            m = (1.0 - out.done.astype(obs.dtype))[:, None]
+            carry = jax.tree.map(lambda c: c * m, carry)
+            trans = Transition(
+                obs=obs, priv_obs=priv_obs, action=action, reward=out.reward,
+                done=out.done, time_out=out.extras["time_outs"].astype(
+                    out.reward.dtype),
+                value=value, log_prob=log_prob, mean=mean, std=std)
+            next_priv = (out.privileged_obs if out.privileged_obs is not None
+                         else out.obs)
+            info = {
+                "episode_rew": out.extras["episode_rew"],
+                "num_resets": out.extras["num_resets"],
+                "terrain_level": out.extras["terrain_level"],
+                "max_command_x": out.extras["max_command_x"],
+                "num_nan_quarantined": out.extras["num_nan_quarantined"],
+            }
+            return (env_state, out.obs, next_priv, carry), (trans, info)
+
+        keys = jax.random.split(key, T)
+        (env_state, obs, priv_obs, carry), (rollout, infos) = jax.lax.scan(
+            step_fn, (env_state, obs, priv_obs, carry), keys)
+        return env_state, obs, priv_obs, carry, rollout, infos
+
     def train_iteration(self, train_state: TrainState, env_state, obs,
                         priv_obs, key):
         k_roll, k_update = jax.random.split(key)
@@ -109,6 +174,29 @@ class OnPolicyRunner:
             train_state.params, priv_obs, method=self.network.value)
         train_state, metrics = self.ppo.update(
             train_state, rollout, last_value, k_update)
+        return self._finish_iteration(
+            train_state, env_state, obs, priv_obs, rollout, infos, metrics)
+
+    def train_iteration_recurrent(self, train_state: TrainState, env_state,
+                                  obs, priv_obs, carry, key):
+        """Recurrent variant: carry threads across iterations; PPO replays
+        each minibatch from carry0 with truncated BPTT (rl/ppo.RecurrentPPO)."""
+        k_roll, k_update = jax.random.split(key)
+        carry0 = carry
+        env_state, obs, priv_obs, carry, rollout, infos = \
+            self.rollout_recurrent(
+                train_state, env_state, obs, priv_obs, carry, k_roll)
+        # bootstrap value with the current carry (advanced copy is discarded)
+        _, (_, _, last_value) = self.network.apply(
+            train_state.params, carry, obs, priv_obs)
+        train_state, metrics = self.ppo.update(
+            train_state, rollout, last_value, k_update, carry0=carry0)
+        out = self._finish_iteration(
+            train_state, env_state, obs, priv_obs, rollout, infos, metrics)
+        return out[:4] + (carry,) + out[4:]
+
+    def _finish_iteration(self, train_state, env_state, obs, priv_obs,
+                          rollout, infos, metrics):
         metrics["mean_reward"] = jnp.mean(rollout.reward)
         metrics["mean_episode_length"] = jnp.mean(
             env_state.episode_step.astype(jnp.float32))
@@ -147,8 +235,26 @@ class OnPolicyRunner:
 
         if self._jit_iter is None:
             # donate train/env state + obs: in-place buffer reuse per iter
-            self._jit_iter = jax.jit(self.train_iteration,
-                                     donate_argnums=(0, 1, 2, 3))
+            if self.recurrent:
+                # carry (arg 4) is NOT donated: initialize_carry's four
+                # zero leaves share one buffer (XLA constant dedupe) and
+                # donating aliased buffers is an error
+                self._jit_iter = jax.jit(self.train_iteration_recurrent,
+                                         donate_argnums=(0, 1, 2, 3))
+            else:
+                self._jit_iter = jax.jit(self.train_iteration,
+                                         donate_argnums=(0, 1, 2, 3))
+
+        if self.mesh is not None:
+            # DP sharding: env batch over the 'dp' axis, params replicated;
+            # the jitted iteration then compiles SPMD with psum gradient/
+            # metric reductions inserted by XLA (dryrun_multichip path,
+            # now first-class in training)
+            from pointfoot_tpu.parallel.mesh import replicated, shard_batch
+
+            env_state = shard_batch(env_state, self.mesh)
+            train_state = jax.device_put(train_state, replicated(self.mesh))
+            key = jax.device_put(key, replicated(self.mesh))
 
         # initial observations: one zero-action step (base_task.py:111-115)
         key, k0 = jax.random.split(key)
@@ -158,22 +264,33 @@ class OnPolicyRunner:
         priv_obs = (out0.privileged_obs if out0.privileged_obs is not None
                     else out0.obs)
 
+        carry = (self.network.initialize_carry((self.env.num_envs,))
+                 if self.recurrent else None)
+
         t_start = time.time()
         steps_per_iter = self.cfg.runner.num_steps_per_env * self.env.num_envs
         for it in range(num_iterations):
             key, k_it = jax.random.split(key)
-            train_state, env_state, obs, priv_obs, metrics = self._jit_iter(
-                train_state, env_state, obs, priv_obs, k_it)
+            if self.recurrent:
+                (train_state, env_state, obs, priv_obs, carry,
+                 metrics) = self._jit_iter(
+                    train_state, env_state, obs, priv_obs, carry, k_it)
+            else:
+                train_state, env_state, obs, priv_obs, metrics = \
+                    self._jit_iter(train_state, env_state, obs, priv_obs,
+                                   k_it)
             self.current_iteration += 1
-            if (it % log_every == 0) or it == num_iterations - 1:
+            host0 = jax.process_index() == 0  # host-0 logging (SURVEY.md §5)
+            if ((it % log_every == 0) or it == num_iterations - 1) and host0:
                 m = jax.device_get(metrics)
                 elapsed = time.time() - t_start
                 sps = steps_per_iter * (it + 1) / max(elapsed, 1e-9)
                 self._log(self.current_iteration, m, sps)
-            if (self.cfg.runner.save_interval > 0 and self.log_dir and
-                    (self.current_iteration % self.cfg.runner.save_interval == 0)):
+            if (self.cfg.runner.save_interval > 0 and self.log_dir and host0
+                    and (self.current_iteration
+                         % self.cfg.runner.save_interval == 0)):
                 self.save(train_state, env_state)
-        if self.log_dir:
+        if self.log_dir and jax.process_index() == 0:
             self.save(train_state, env_state)
         return train_state, env_state
 
@@ -307,7 +424,12 @@ class OnPolicyRunner:
     # --------------------------------------------------------- inference
 
     def get_inference_policy(self, train_state: TrainState):
-        """Deterministic policy obs -> action mean (play.py:59)."""
+        """Deterministic policy obs -> action mean (play.py:59).
+
+        Recurrent runners return a STATEFUL pair instead — use
+        `get_inference_policy_recurrent`."""
+        if self.recurrent:
+            return self.get_inference_policy_recurrent(train_state)
         net = self.network
 
         @jax.jit
@@ -315,3 +437,22 @@ class OnPolicyRunner:
             return net.apply(train_state.params, obs, method=net.act_mean)
 
         return policy
+
+    def get_inference_policy_recurrent(self, train_state: TrainState):
+        """(policy, carry0): policy(carry, obs) -> (carry, action_mean).
+
+        The critic branch is fed the same obs (deployment has no privileged
+        observations — reference flat-policy ONNX input is the 27-d proprio
+        obs, export_policy_as_onnx.py:36-45)."""
+        net = self.network
+
+        @jax.jit
+        def policy(carry, obs):
+            carry, (mean, _, _) = net.apply(
+                train_state.params, carry, obs, obs)
+            return carry, mean
+
+        def carry0(batch: int):
+            return net.initialize_carry((batch,))
+
+        return policy, carry0
