@@ -46,8 +46,11 @@ class TaskRegistry:
 
     def make_alg_runner(self, env, name: str, log_dir: Optional[str] = None,
                         train_cfg: Optional[TrainCfg] = None,
-                        max_iterations: Optional[int] = None):
-        """Build the on-policy runner (task_registry.py:104-155)."""
+                        max_iterations: Optional[int] = None, mesh=None):
+        """Build the on-policy runner (task_registry.py:104-155).
+
+        `mesh`: optional DP device mesh — the runner shards the env batch
+        over it in `learn` (parallel/mesh.py)."""
         from pointfoot_tpu.rl.runner import OnPolicyRunner
 
         if train_cfg is None:
@@ -56,7 +59,7 @@ class TaskRegistry:
             train_cfg = replace(
                 train_cfg, runner=replace(train_cfg.runner,
                                           max_iterations=max_iterations))
-        return OnPolicyRunner(env, train_cfg, log_dir=log_dir)
+        return OnPolicyRunner(env, train_cfg, log_dir=log_dir, mesh=mesh)
 
 
 task_registry = TaskRegistry()

@@ -29,6 +29,15 @@ def get_args():
                    help="checkpoint dir to resume from (default: latest)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (virtual multi-device)")
+    p.add_argument("--rng", default=None, choices=["threefry", "rbg"],
+                   help="PRNG impl (default: rbg on TPU — hardware RNG for "
+                        "the rollout loop; threefry elsewhere)")
+    p.add_argument("--mesh", default="auto", choices=["auto", "none"],
+                   help="DP device mesh: 'auto' shards the env batch over "
+                        "all visible devices when more than one is present")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed for pod-slice runs "
+                        "(coordinator from POINTFOOT_* env vars)")
     return p.parse_args()
 
 
@@ -42,10 +51,29 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    rng_impl = args.rng or (
+        "rbg" if jax.devices()[0].platform == "tpu" else "threefry")
+    jax.config.update(
+        "jax_default_prng_impl",
+        {"threefry": "threefry2x32"}.get(rng_impl, rng_impl))
+
+    from pointfoot_tpu.parallel.mesh import make_mesh, multihost_init
     from pointfoot_tpu.utils.helpers import get_load_path
     from pointfoot_tpu.utils.registry import task_registry
 
+    if args.multihost:
+        multihost_init()
+    mesh = None
+    if args.mesh == "auto" and len(jax.devices()) > 1:
+        mesh = make_mesh()
+        print(f"DP mesh over {mesh.size} devices "
+              f"({jax.process_count()} process(es))")
+
     env = task_registry.make_env(args.task, num_envs=args.num_envs)
+    if mesh is not None and env.num_envs % mesh.size != 0:
+        raise SystemExit(
+            f"--num_envs {env.num_envs} must divide the mesh size "
+            f"{mesh.size}")
     _, train_cfg = task_registry.get_cfgs(args.task)
     log_dir = args.log_dir
     if log_dir is None:
@@ -55,7 +83,7 @@ def main():
         log_dir = os.path.join("logs", train_cfg.runner.experiment_name, stamp)
     runner = task_registry.make_alg_runner(
         env, args.task, log_dir=log_dir,
-        max_iterations=args.max_iterations)
+        max_iterations=args.max_iterations, mesh=mesh)
     seed = args.seed if args.seed is not None else train_cfg.seed
     iters = (args.max_iterations if args.max_iterations is not None
              else train_cfg.runner.max_iterations)
