@@ -119,6 +119,14 @@ def main_mpc_ilqr():
 
 def main():
     import jax
+
+    # RNG impl for the env's per-step draws (noise, resets, pushes,
+    # commands).  Measured on the v5e chip (10-step scan, 4096 envs):
+    # threefry2x32 200k steps/s vs rbg 167-171k — threefry wins end-to-end
+    # here (XLA fuses it into the surrounding elementwise work; rbg's
+    # hardware path serializes against the scan), so it stays the default.
+    jax.config.update("jax_default_prng_impl",
+                      os.environ.get("BENCH_RNG", "threefry2x32"))
     import jax.numpy as jnp
 
     from pointfoot_tpu.utils.registry import task_registry
@@ -143,8 +151,14 @@ def main():
             jnp.arange(STEPS_PER_ITER, dtype=jnp.float32))
         return state, rew
 
-    # donate the env state: in-place buffer reuse, like the real train loop
-    run = jax.jit(do_steps, donate_argnums=0)
+    # NOTE: no buffer donation by default — through the axon PJRT tunnel
+    # donation serializes dispatch and costs ~27% (measured 197 ms vs
+    # 155 ms per 10-step scan at 4096 envs); on-chip memory is not a
+    # constraint here.  BENCH_DONATE=1 re-enables for A/B.
+    if os.environ.get("BENCH_DONATE"):
+        run = jax.jit(do_steps, donate_argnums=0)
+    else:
+        run = jax.jit(do_steps)
     key = jax.random.PRNGKey(1)
 
     # warmup/compile

@@ -69,30 +69,31 @@ def _chol_solve_kernel(n: int, a_ref, b_ref, x_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_chol_solve(A: jax.Array, b: jax.Array,
-                      interpret: bool = False) -> jax.Array:
-    """Solve A x = b for a batch of SPD systems: A (B, n, n), b (B, n).
+def pallas_chol_solve_lanes(A_t: jax.Array, b_t: jax.Array,
+                            interpret: bool = False) -> jax.Array:
+    """Lane-layout entry: A_t (n*n, B), b_t (n, B) -> x_t (n, B).
 
-    Uses the Pallas lane-batched kernel on TPU (or interpret mode for
-    tests); matches `linalg.chol_solve` to float32 roundoff.
+    Callers that can produce the batch-minor layout directly (e.g.
+    `dynamics.step_batched` assembling via ``vmap(..., out_axes=2)``) skip
+    the HBM transpose round-trip entirely — this is the round-1 queue item
+    "assemble A in the (n*n, B) lane layout".
     """
-    B, n, _ = A.shape
+    nn, B = A_t.shape
+    n = b_t.shape[0]
+    assert nn == n * n
     Bp = ((B + _BLOCK - 1) // _BLOCK) * _BLOCK
-    # batch-on-lanes layout
-    A_t = jnp.moveaxis(A.reshape(B, n * n), 0, 1)  # (n*n, B)
-    b_t = jnp.moveaxis(b, 0, 1)  # (n, B)
     if Bp != B:
         # pad with identity systems to keep the factorization well-defined
         pad = Bp - B
-        eye_flat = jnp.eye(n, dtype=A.dtype).reshape(n * n)
+        eye_flat = jnp.eye(n, dtype=A_t.dtype).reshape(n * n)
         A_t = jnp.concatenate(
             [A_t, jnp.tile(eye_flat[:, None], (1, pad))], axis=1)
-        b_t = jnp.concatenate([b_t, jnp.zeros((n, pad), b.dtype)], axis=1)
+        b_t = jnp.concatenate([b_t, jnp.zeros((n, pad), b_t.dtype)], axis=1)
 
     kernel = functools.partial(_chol_solve_kernel, n)
     x_t = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, Bp), A.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, Bp), A_t.dtype),
         grid=(Bp // _BLOCK,),
         in_specs=[
             pl.BlockSpec((n * n, _BLOCK), lambda i: (0, i),
@@ -104,7 +105,22 @@ def pallas_chol_solve(A: jax.Array, b: jax.Array,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(A_t, b_t)
-    return jnp.moveaxis(x_t[:, :B], 0, 1)
+    return x_t[:, :B]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_chol_solve(A: jax.Array, b: jax.Array,
+                      interpret: bool = False) -> jax.Array:
+    """Solve A x = b for a batch of SPD systems: A (B, n, n), b (B, n).
+
+    Uses the Pallas lane-batched kernel on TPU (or interpret mode for
+    tests); matches `linalg.chol_solve` to float32 roundoff.
+    """
+    B, n, _ = A.shape
+    A_t = jnp.moveaxis(A.reshape(B, n * n), 0, 1)  # (n*n, B)
+    b_t = jnp.moveaxis(b, 0, 1)  # (n, B)
+    x_t = pallas_chol_solve_lanes(A_t, b_t, interpret=interpret)
+    return jnp.moveaxis(x_t, 0, 1)
 
 
 def chol_solve_best(A: jax.Array, b: jax.Array) -> jax.Array:
