@@ -34,12 +34,21 @@ class TaskRegistry:
         return sorted(self._tasks)
 
     def make_env(self, name: str, num_envs: Optional[int] = None,
-                 seed: Optional[int] = None, **env_overrides) -> LeggedEnv:
-        """Build the env (reference make_env, task_registry.py:65-102)."""
+                 seed: Optional[int] = None, cfg_patch: Optional[dict] = None,
+                 **env_overrides) -> LeggedEnv:
+        """Build the env (reference make_env, task_registry.py:65-102).
+
+        `cfg_patch`: nested {group: {field: value}} overlay applied through
+        `config.override` — the CLI's `--override rewards.x=1` surface
+        (reference update_cfg_from_args, helpers.py:127-150)."""
         env_cfg, _ = self.get_cfgs(name)
         if num_envs is not None:
             env_cfg = replace(env_cfg, env=replace(env_cfg.env,
                                                    num_envs=num_envs))
+        if cfg_patch:
+            from pointfoot_tpu.envs.config import override
+
+            env_cfg = override(env_cfg, **cfg_patch)
         for key, val in env_overrides.items():
             env_cfg = replace(env_cfg, **{key: val})
         return LeggedEnv(env_cfg)

@@ -29,9 +29,15 @@ def get_args():
                    help="checkpoint dir to resume from (default: latest)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (virtual multi-device)")
-    p.add_argument("--rng", default=None, choices=["threefry", "rbg"],
-                   help="PRNG impl (default: rbg on TPU — hardware RNG for "
-                        "the rollout loop; threefry elsewhere)")
+    p.add_argument("--rng", default="threefry", choices=["threefry", "rbg"],
+                   help="PRNG impl (threefry default: measured faster than "
+                        "rbg end-to-end on v5e — XLA fuses it into the "
+                        "rollout; see bench.py)")
+    p.add_argument("--override", action="append", default=[],
+                   metavar="GROUP.FIELD=VALUE",
+                   help="env-config override, repeatable: e.g. "
+                        "--override rewards.only_positive_rewards=true "
+                        "(reference update_cfg_from_args, helpers.py:127-150)")
     p.add_argument("--mesh", default="auto", choices=["auto", "none"],
                    help="DP device mesh: 'auto' shards the env batch over "
                         "all visible devices when more than one is present")
@@ -51,11 +57,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
 
-    rng_impl = args.rng or (
-        "rbg" if jax.devices()[0].platform == "tpu" else "threefry")
     jax.config.update(
         "jax_default_prng_impl",
-        {"threefry": "threefry2x32"}.get(rng_impl, rng_impl))
+        {"threefry": "threefry2x32"}.get(args.rng, args.rng))
 
     from pointfoot_tpu.parallel.mesh import make_mesh, multihost_init
     from pointfoot_tpu.utils.helpers import get_load_path
@@ -69,7 +73,22 @@ def main():
         print(f"DP mesh over {mesh.size} devices "
               f"({jax.process_count()} process(es))")
 
-    env = task_registry.make_env(args.task, num_envs=args.num_envs)
+    import ast
+
+    cfg_patch = {}
+    for ov in args.override:
+        path, _, raw = ov.partition("=")
+        group, _, field = path.partition(".")
+        if not (group and field and raw):
+            raise SystemExit(f"bad --override {ov!r}: want GROUP.FIELD=VALUE")
+        try:
+            val = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            val = {"true": True, "false": False}.get(raw.lower(), raw)
+        cfg_patch.setdefault(group, {})[field] = val
+
+    env = task_registry.make_env(args.task, num_envs=args.num_envs,
+                                 cfg_patch=cfg_patch or None)
     if mesh is not None and env.num_envs % mesh.size != 0:
         raise SystemExit(
             f"--num_envs {env.num_envs} must divide the mesh size "
