@@ -112,15 +112,24 @@ def contact_terms(
         f_n_spring = k * pen
         f_spring = jnp.where(active, f_n_spring, 0.0) * n
 
+        # UNILATERAL contact: cap the normal damping so the predicted
+        # normal force k·pen − d·v_n stays non-negative at the (pre-step)
+        # separation speed — otherwise the implicit d·v_n term acts as
+        # adhesion (~120 N at 0.1 m/s for the reference-scale d) and a
+        # swing foot grazing the ground cannot lift off.  Continuous in
+        # v_n: resting/approaching contacts keep full damping.
+        v_n = jnp.dot(n, v_p)
+        d_cap = f_n_spring / jnp.maximum(v_n, 0.05)
+        d_n = jnp.where(active, jnp.minimum(d, d_cap), 0.0)
+        # friction cone at the PREDICTED normal force: a separating foot
+        # sheds its tangential grip too (no lateral glue at liftoff)
+        f_n_hat = jnp.maximum(f_n_spring - d_n * jnp.maximum(v_n, 0.0), 0.0)
         mu = params.friction[c]
-        # viscous friction coefficient capped by the cone at the spring-level
-        # normal force (regularized Coulomb)
         c_t = jnp.where(
             active,
-            jnp.minimum(mu * f_n_spring / jnp.maximum(vt_norm, 1e-3), 2e3),
+            jnp.minimum(mu * f_n_hat / jnp.maximum(vt_norm, 1e-3), 2e3),
             0.0,
         )
-        d_n = jnp.where(active, d, 0.0)
         nn = jnp.outer(n, n)
         D = d_n * nn + c_t * (jnp.eye(3, dtype=origin.dtype) - nn)
 
