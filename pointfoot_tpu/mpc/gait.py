@@ -7,16 +7,26 @@ Raibert-heuristic stepping stack (MIT Mini-Cheetah controller lineage,
 public method) on top of mpc/srb.py:
 
 * gait clock: phase in [0, 1), two legs offset by half a period; a leg is
-  in stance while its local phase < duty;
-* footstep targets: p_des = p_hip_proj + v T_st/2 + k_v (v - v_cmd)
-  (the Raibert heuristic), capped to a reachable radius;
-* swing trajectory: linear xy blend liftoff -> target with a sin-profile
-  apex; swing legs tracked with task-space PD mapped through J^T;
-* stance legs: SRB ground-reaction forces (srb_plan with the scheduled
-  contact mask) realized via tau = C_j - J^T f.
+  in stance while its local phase < duty — but may only LIFT OFF once the
+  other leg is measurably loaded (support continuity);
+* footstep targets, recomputed EVERY tick from the live velocity:
+  p = p_com + yaw_frame(+/- y_off) + v T_st/2 + k_v (v - v_cmd) + k_i \int(v - v_cmd)
+  (capture-point Raibert placement, CoM-anchored), capped to a reachable
+  radius; the integral trim removes the constant-drift equilibrium a pure
+  proportional gain leaves;
+* swing trajectory: xy blend and sin-profile apex both complete at s=0.8
+  of the swing window, then push slightly below the ground line so
+  touchdown happens before the clock flips the leg back to stance; swing
+  legs tracked with task-space PD (+ gravity compensation) through J^T;
+* reach-down mode: a clock-stance foot that is NOT loaded (late
+  touchdown) is actively driven to its target on the ground;
+* stance legs: SRB ground-reaction forces (contact-gated schedule)
+  realized via tau = C_j - J^T f.
 
-Everything is batched (vmap over scenarios) and jit-safe; `GaitState` is a
-small pytree carried across control ticks.
+Validated closed-loop (tests/test_gait.py): >=10 s walking at cmd vx in
+{0.0, 0.4} m/s with zero falls on flat ground at the reference's 50 Hz /
+200 Hz two-rate scheme.  Everything is batched (vmap over scenarios) and
+jit-safe; `GaitState` is a small pytree carried across control ticks.
 """
 
 from __future__ import annotations
@@ -38,19 +48,35 @@ from pointfoot_tpu.physics.model import PhysicsParams, PhysicsState, RobotModel
 
 @dataclass(frozen=True)
 class GaitConfig:
-    period: float = 0.4  # [s] full gait cycle
+    period: float = 0.34  # [s] full gait cycle (faster stepping bounds the
+    # per-stance tipping a line-support biped accumulates)
     duty: float = 0.55  # stance fraction per leg
-    swing_height: float = 0.07  # [m] apex
-    k_raibert: float = 0.04  # velocity-error foot placement gain
-    step_reach: float = 0.25  # [m] max step offset from hip
+    swing_height: float = 0.05  # [m] apex
+    # velocity-error foot placement gain; the capture-point value
+    # sqrt(z0/g) ~ 0.25 for z0=0.62 — the liftoff-frozen 0.04 of round 1
+    # could not arrest lateral falls
+    k_raibert: float = 0.25
+    step_reach: float = 0.30  # [m] max step offset from the anchor
     kp_cart: float = 300.0  # swing task-space stiffness
-    kd_cart: float = 8.0
+    kd_cart: float = 12.0
+    # lateral half-stance-width: steps anchor at CoM +/- y_off in the yaw
+    # frame (capture-point placement), not at the hip — when the base
+    # rolls, the hip rolls WITH it and hip-anchored steps chase the fall.
+    # 0.06 < the 0.105 hip half-width: narrower stance = smaller lateral
+    # limit-cycle amplitude (vy band +/-0.15 vs +/-0.39 at 0.09)
+    y_off: float = 0.06
+    contact_gate: bool = True  # SRB force only for feet actually loaded
+    k_int: float = 0.12  # integral placement trim gain
+    v_int_max: float = 0.6  # [m] anti-windup clamp on the error integral
+    cmd_slew: float = 0.75  # [m/s^2] command slew-rate limit (soft start)
 
 
 class GaitState(NamedTuple):
     phase: jax.Array  # (B,) gait clock in [0, 1)
     liftoff_pos: jax.Array  # (B, nf, 3) foot position at last liftoff
     target_pos: jax.Array  # (B, nf, 3) current step target
+    v_int: jax.Array  # (B, 3) integrated velocity error (placement trim)
+    cmd_f: jax.Array  # (B, 3) slew-limited command actually tracked
 
 
 def _leg_phase(phase, leg_offset):
@@ -85,6 +111,8 @@ class SteppingController:
             phase=jnp.zeros(batch),
             liftoff_pos=fp,
             target_pos=fp,
+            v_int=jnp.zeros((batch, 3)),
+            cmd_f=jnp.zeros((batch, 3)),
         )
 
     # ------------------------------------------------------------------
@@ -126,37 +154,83 @@ class SteppingController:
         """One 50 Hz tick: returns (torques (B, nj), new GaitState)."""
         g = self.gait
 
-        def one(p, cmd, phase, liftoff, target):
+        def one(p, cmd, phase, liftoff, target, v_int, cmd_f):
+            # slew-limit the tracked command: a step to 0.4 m/s from rest
+            # excites the startup transient that tips the biped; ramping at
+            # cmd_slew keeps the capture steps within reach
+            dmax = g.cmd_slew * self.dt
+            cmd = cmd_f + jnp.clip(cmd - cmd_f, -dmax, dmax)
+            new_cmd_f = cmd
             foot_pos, hips, kin = self._foot_positions(p)
             leg_ph = _leg_phase(phase, self.offsets)  # (nf,)
             stance = (leg_ph < g.duty).astype(jnp.float32)
+            # support continuity: a leg may only lift off while the OTHER
+            # leg is actually loaded — otherwise hold stance (prevents
+            # freefall windows when a late-landing swing foot is still in
+            # the air as the clock flips its sibling to swing)
+            fz_meas = p.contact_force[jnp.asarray(self.feet_idx), 2]
+            loaded = ((fz_meas > 1.0)
+                      | (foot_pos[:, 2] < 0.035)).astype(jnp.float32)
+            other_loaded = jnp.sum(loaded) - loaded
+            stance = jnp.maximum(
+                stance, (other_loaded < 0.5).astype(jnp.float32))
 
             new_phase = jnp.mod(phase + self.dt / g.period, 1.0)
             new_leg_ph = _leg_phase(new_phase, self.offsets)
             new_stance = (new_leg_ph < g.duty).astype(jnp.float32)
             just_lifted = (stance > 0.5) & (new_stance < 0.5)
 
-            # Raibert footstep target (world), terrain-relative z from hips
+            # Raibert footstep target (world): capture-point placement
+            # anchored at the CoM +/- y_off in the yaw frame.  z taken from
+            # the current foot height (terrain-relative).
             yaw = quat_ops.yaw(p.base_quat)
+            q_yaw = quat_ops.from_axis_angle(
+                jnp.asarray([0.0, 0.0, 1.0]), yaw)
             v = p.base_lin_vel
             v_cmd_w = quat_ops.rotate(
-                quat_ops.from_axis_angle(jnp.asarray([0.0, 0.0, 1.0]), yaw),
-                jnp.asarray([cmd[0], cmd[1], 0.0]))
+                q_yaw, jnp.asarray([cmd[0], cmd[1], 0.0]))
             T_st = g.duty * g.period
-            offset = (v * T_st / 2 + g.k_raibert * (v - v_cmd_w))
+            # slow integral trim on the placement: kills the constant
+            # forward drift a pure proportional capture gain leaves
+            # (steady-state error against the gait's systematic moments)
+            new_v_int = jnp.clip(
+                v_int + self.dt * (v - v_cmd_w), -g.v_int_max, g.v_int_max)
+            offset = (v * T_st / 2 + g.k_raibert * (v - v_cmd_w)
+                      + g.k_int * new_v_int)
             offset = offset.at[2].set(0.0)
             norm = jnp.linalg.norm(offset[:2])
             offset = offset * jnp.minimum(
                 1.0, g.step_reach / jnp.maximum(norm, 1e-6))
-            hip_proj = hips.at[:, 2].set(foot_pos[:, 2])
-            tgt = hip_proj + offset[None, :]
+            com = (jnp.sum(self.model.mass[:, None] * kin.com_w, axis=0)
+                   / jnp.sum(self.model.mass))
+            # per-leg lateral stance bias, signed by the leg's hip side
+            side = jnp.sign(jax.vmap(
+                lambda h: quat_ops.rotate_inverse(q_yaw, h - p.base_pos)[1]
+            )(hips))
+            bias = jax.vmap(lambda s: quat_ops.rotate(
+                q_yaw, jnp.asarray([0.0, 1.0, 0.0]) * (s * g.y_off)))(side)
+            # ground estimate from the LOADED feet (an airborne foot's own
+            # z would feed back into its target and levitate it)
+            gz = jnp.min(jnp.where(loaded > 0.5, foot_pos[:, 2], 1e9))
+            ground_z = jnp.where(gz > 1e8, jnp.min(foot_pos[:, 2]), gz)
+            anchor = (com[None, :] + bias).at[:, 2].set(ground_z)
+            tgt = anchor + offset[None, :]
 
+            # liftoff pose latches at the stance->swing edge; the step TARGET
+            # is recomputed EVERY tick from the live velocity (classic
+            # Raibert): a target frozen at liftoff (when v was still caught)
+            # cannot arrest the fall that develops during the swing
             new_liftoff = jnp.where(just_lifted[:, None], foot_pos, liftoff)
-            new_target = jnp.where(just_lifted[:, None], tgt, target)
+            in_swing = stance < 0.5
+            new_target = jnp.where(in_swing[:, None], tgt, target)
 
-            # SRB stance forces with the CURRENT stance mask (all-stance
-            # fallback if airborne)
-            ct = jnp.where(jnp.sum(stance) > 0, stance, jnp.ones_like(stance))
+            # SRB stance forces for CLOCK-stance feet that are actually
+            # loaded (measured contact force or near-ground) — allocating
+            # weight to a foot still in the air drops the robot during the
+            # touchdown window.  All-stance fallback if nothing qualifies.
+            eligible = stance * loaded if g.contact_gate else stance
+            ct = jnp.where(jnp.sum(eligible) > 0, eligible,
+                           jnp.ones_like(stance))
             prob = srb_problem(self.model, p, self.params, foot_pos, ct, cmd,
                                self.srb, kin=kin)
             F, c_tot, L, Xd, Ud, XTd, x0, f_ff = prob
@@ -189,7 +263,7 @@ class SteppingController:
                 rel = pfo - p.base_pos
                 for j in _foot_ancestors(self.model, cidx):
                     col = S[6 + j, 3:] + jnp.cross(S[6 + j, :3], rel)
-                    tau = tau.at[j].add(ct[k] * stance[k] * (-col @ f0[k]))
+                    tau = tau.at[j].add(ct[k] * (-col @ f0[k]))
                     stance_mask_j = stance_mask_j.at[j].add(stance[k])
                     swing_mask_j = swing_mask_j.at[j].add(1.0 - stance[k])
             stance_mask_j = jnp.minimum(stance_mask_j, 1.0)
@@ -197,26 +271,55 @@ class SteppingController:
             tau = tau + stance_mask_j * (
                 C[6:] - self.srb.kd_stance * p.qvel)
 
-            # swing torques: task-space PD along the swing trajectory
+            # swing torques: task-space PD along the swing trajectory.
+            # The vertical profile completes at s=0.8 of the swing window
+            # and then pushes slightly BELOW the ground line so touchdown
+            # happens before the clock flips the leg back to stance (a
+            # profile peaking mid-swing + tracking lag otherwise lands the
+            # foot a quarter-cycle late, opening support gaps).
+            T_sw = (1.0 - g.duty) * g.period
             for k, cidx in enumerate(self.feet_idx):
                 s_ph = jnp.clip((leg_ph[k] - g.duty) / (1.0 - g.duty), 0, 1)
                 p_lo = new_liftoff[k]
                 p_tg = new_target[k]
-                p_des = p_lo + (p_tg - p_lo) * s_ph
-                z_base = p_lo[2] + (p_tg[2] - p_lo[2]) * s_ph
-                p_des = p_des.at[2].set(
-                    z_base + g.swing_height * jnp.sin(jnp.pi * s_ph))
-                v_des = (p_tg - p_lo) / ((1.0 - g.duty) * g.period)
-                v_des = v_des.at[2].set(0.0)
+                # xy completes at the same s=0.8 the z-profile touches down
+                # at — lerping to s=1.0 lands the foot 20% short of the
+                # capture point every step and vx never decays
+                sxy = jnp.minimum(s_ph / 0.8, 1.0)
+                p_des = p_lo + (p_tg - p_lo) * sxy
+                z_base = p_lo[2] + (p_tg[2] - p_lo[2]) * sxy
+                sz = sxy
+                z_prof = (g.swing_height * jnp.sin(jnp.pi * sz)
+                          - 0.02 * jnp.clip((s_ph - 0.8) / 0.2, 0.0, 1.0))
+                p_des = p_des.at[2].set(z_base + z_prof)
+                v_des = (p_tg - p_lo) / (0.8 * T_sw) * (sxy < 1.0)
+                # z feedforward = d(z_prof)/dt so the foot is actively
+                # driven down at the end of swing, not dropped by the PD
+                dz = (g.swing_height * jnp.pi / 0.8 * jnp.cos(jnp.pi * sz)
+                      * (sz < 1.0) - 0.02 / 0.2 * (s_ph > 0.8)) / T_sw
+                v_des = v_des.at[2].set(dz)
                 tau_sw = self._swing_torque(p, kin, cidx, p_des, v_des)
                 tau = tau + (1.0 - stance[k]) * tau_sw
-            # gravity bias for swing-leg joints too
-            tau = tau + swing_mask_j * (1.0 - stance_mask_j) * C[6:] * 0.0
+                # reach-down mode: clock-stance but unloaded (late touchdown)
+                # — drive the foot to the ground at its step target; without
+                # this the leg floats torqueless until the next swing window
+                reach = stance[k] * (1.0 - loaded[k])
+                p_reach = p_tg.at[2].set(ground_z - 0.02)
+                tau_rc = self._swing_torque(
+                    p, kin, cidx, p_reach, jnp.asarray([0.0, 0.0, -0.3]))
+                tau = tau + reach * tau_rc
+            # gravity/Coriolis compensation for swing-leg joints: without it
+            # the task-space PD must also carry the leg's weight and the
+            # apex is never reached (each joint belongs to exactly one leg,
+            # so the masks are disjoint)
+            tau = tau + swing_mask_j * C[6:]
             tau = jnp.clip(tau, -self.model.effort_limit,
                            self.model.effort_limit)
-            return tau, new_phase, new_liftoff, new_target
+            return (tau, new_phase, new_liftoff, new_target, new_v_int,
+                    new_cmd_f)
 
-        tau, phase, liftoff, target = jax.vmap(one)(
-            phys, command, gait.phase, gait.liftoff_pos, gait.target_pos)
+        tau, phase, liftoff, target, v_int, cmd_f = jax.vmap(one)(
+            phys, command, gait.phase, gait.liftoff_pos, gait.target_pos,
+            gait.v_int, gait.cmd_f)
         return tau, GaitState(phase=phase, liftoff_pos=liftoff,
-                              target_pos=target)
+                              target_pos=target, v_int=v_int, cmd_f=cmd_f)

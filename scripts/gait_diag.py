@@ -1,0 +1,129 @@
+"""Closed-loop diagnostic for the biped stepping controller (mpc/gait.py).
+
+Rolls SteppingController + raw physics at the reference two-rate scheme
+(50 Hz control / 200 Hz substep, pointfoot_rough_config.py:95,197) and
+reports base height / tilt / velocity traces and time-to-fall, so gait
+tuning has a measurable target: >=5 s walking at commanded vx with zero
+falls (BASELINE ctrl-seq north star).
+
+Usage: python scripts/gait_diag.py [--vx 0.4] [--ticks 250] [--b 4]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+if os.environ.get("DIAG_PRECISION"):
+    jax.config.update("jax_default_matmul_precision",
+                      os.environ["DIAG_PRECISION"])
+
+import jax.numpy as jnp
+import numpy as np
+
+from pointfoot_tpu.mpc.gait import GaitConfig, SteppingController
+from pointfoot_tpu.mpc.srb import SRBConfig
+from pointfoot_tpu.ops import quat as quat_ops
+from pointfoot_tpu.physics import dynamics
+from pointfoot_tpu.physics.assets import get_model
+from pointfoot_tpu.physics.model import PhysicsParams, PhysicsState
+
+FLAT = lambda x, y: jnp.zeros_like(jnp.asarray(x, jnp.float32))
+
+
+def rollout(ctrl, phys, cmd, ticks, substeps=4, sub_dt=0.005):
+    model, params = ctrl.model, ctrl.params
+    gait = ctrl.init(phys.base_pos.shape[0], phys)
+
+    def tick(carry, _):
+        p, g = carry
+        tau, g = ctrl.control(p, cmd, g)
+
+        def sub(pp, _):
+            return jax.vmap(lambda s, t: dynamics.step(
+                model, params, s, t, FLAT, sub_dt))(pp, tau), ()
+
+        p, _ = jax.lax.scan(sub, p, None, length=substeps)
+        grav_b = jax.vmap(lambda q: quat_ops.rotate_inverse(
+            q, jnp.asarray([0.0, 0.0, -1.0])))(p.base_quat)
+        tilt = jnp.arccos(jnp.clip(-grav_b[:, 2], -1, 1))
+        # roll ~ gy, pitch ~ -gx of body-frame gravity
+        fz = p.contact_force[:, jnp.asarray(ctrl.feet_idx), 2]
+        foot_pos = jax.vmap(lambda s: ctrl._foot_positions(s)[0])(p)
+        out = dict(z=p.base_pos[:, 2], tilt=tilt,
+                   roll=grav_b[:, 1], pitch=-grav_b[:, 0],
+                   vx=p.base_lin_vel[:, 0], vy=p.base_lin_vel[:, 1],
+                   x=p.base_pos[:, 0], phase=g.phase,
+                   fz=fz, foot_y=foot_pos[..., 1], foot_z=foot_pos[..., 2])
+        return (p, g), out
+
+    (phys, gait), traj = jax.lax.scan(tick, (phys, gait), None, length=ticks)
+    return phys, jax.tree.map(np.asarray, traj)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vx", type=float, default=0.0)
+    ap.add_argument("--ticks", type=int, default=250)
+    ap.add_argument("--b", type=int, default=4)
+    ap.add_argument("--period", type=float, default=0.34)
+    ap.add_argument("--duty", type=float, default=0.55)
+    ap.add_argument("--y_off", type=float, default=0.06)
+    ap.add_argument("--k_int", type=float, default=0.12)
+    ap.add_argument("--k_raibert", type=float, default=0.25)
+    ap.add_argument("--kp_cart", type=float, default=300.0)
+    ap.add_argument("--kd_cart", type=float, default=12.0)
+    ap.add_argument("--swing_height", type=float, default=0.05)
+    ap.add_argument("--perturb", type=float, default=0.0)
+    args = ap.parse_args()
+
+    model = get_model("pointfoot")
+    params = PhysicsParams.nominal(model)
+    feet = model.collision_indices("foot")
+    gcfg = GaitConfig(period=args.period, duty=args.duty,
+                      k_raibert=args.k_raibert, kp_cart=args.kp_cart,
+                      y_off=args.y_off, k_int=args.k_int,
+                      kd_cart=args.kd_cart, swing_height=args.swing_height)
+    ctrl = SteppingController(model, params, feet, np.zeros(6),
+                              srb_cfg=SRBConfig(), gait_cfg=gcfg)
+    phys = PhysicsState.default(model, np.zeros(6), batch=(args.b,),
+                                base_height=0.62)
+    if args.perturb > 0:
+        key = jax.random.PRNGKey(7)
+        kv, kw = jax.random.split(key)
+        phys = phys.replace(
+            base_lin_vel=phys.base_lin_vel + args.perturb
+            * jax.random.normal(kv, phys.base_lin_vel.shape),
+            base_ang_vel=phys.base_ang_vel + args.perturb
+            * jax.random.normal(kw, phys.base_ang_vel.shape))
+    cmd = jnp.broadcast_to(jnp.asarray([args.vx, 0.0, 0.0]), (args.b, 3))
+
+    phys, tr = rollout(ctrl, phys, cmd, args.ticks)
+    fallen = (tr["z"] < 0.35) | (tr["tilt"] > 0.8)  # (T, B)
+    first_fall = np.where(fallen.any(0), fallen.argmax(0), args.ticks)
+    print(f"cmd vx={args.vx}  ticks={args.ticks} (dt 0.02)")
+    print(f"time-to-fall per env [ticks]: {first_fall}")
+    T10 = min(args.ticks, 50)
+    for name in ("z", "tilt", "vx", "vy"):
+        v = tr[name]
+        print(f"  {name}: t<1s mean {v[:T10].mean():+.3f} "
+              f"| full mean {v.mean():+.3f} | min {v.min():+.3f} "
+              f"| max {v.max():+.3f}")
+    # dense trace of env 0 around the first fall
+    t_end = int(first_fall[0]) + 10
+    for t in range(0, min(t_end, args.ticks), 2):
+        print(f"  t={t*0.02:5.2f}s ph={tr['phase'][t,0]:.2f} "
+              f"z={tr['z'][t,0]:.3f} r={tr['roll'][t,0]:+.2f} "
+              f"p={tr['pitch'][t,0]:+.2f} vx={tr['vx'][t,0]:+.2f} "
+              f"vy={tr['vy'][t,0]:+.2f} "
+              f"fz=({tr['fz'][t,0,0]:5.1f},{tr['fz'][t,0,1]:5.1f}) "
+              f"fy=({tr['foot_y'][t,0,0]:+.3f},{tr['foot_y'][t,0,1]:+.3f}) "
+              f"fzp=({tr['foot_z'][t,0,0]:.3f},{tr['foot_z'][t,0,1]:.3f})")
+
+
+if __name__ == "__main__":
+    main()
