@@ -36,6 +36,10 @@ class ILQRConfig:
     reg_min: float = 1e-8
     reg_max: float = 1e8
     alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+    # O(log T)-depth associative-scan backward pass (mpc/riccati.py, full
+    # Sarkka LQT elements with cross/linear terms) — wins at long horizons
+    # where the sequential scan's T dependent steps dominate
+    parallel_backward: bool = False
 
 
 class ILQRSolution(NamedTuple):
@@ -164,8 +168,14 @@ def ilqr_solve(dyn: Callable, cost_fn: Callable, x0: jax.Array,
         xs, us, cost, reg, improved_prev = carry
         fx, fu, cx, cu, cxx, cuu, cux, cxT, cxxT = _linearize(
             dyn, cost_fn, xs, us, T)
-        Ks, ks, dV = backward_pass(fx, fu, cx, cu, cxx, cuu, cux, cxT, cxxT,
-                                   reg)
+        if cfg.parallel_backward:
+            from pointfoot_tpu.mpc.riccati import parallel_backward_pass
+
+            Ks, ks, dV = parallel_backward_pass(
+                fx, fu, cx, cu, cxx, cuu, cux, cxT, cxxT, reg)
+        else:
+            Ks, ks, dV = backward_pass(
+                fx, fu, cx, cu, cxx, cuu, cux, cxT, cxxT, reg)
         (xs_new, us_new), cost_new = _forward_pass(
             dyn, cost_fn, xs, us, Ks, ks, alphas, T)
         improved = cost_new < cost - 1e-9
