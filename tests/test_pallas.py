@@ -1,6 +1,7 @@
 """Pallas kernel tests (interpret mode on CPU)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,6 +53,7 @@ def _xla_srb_lqr(F, c, L, Xd, Ud, XTd, x0, f_ff, T):
     return jax.vmap(one)(F, c, L, Xd, Ud, XTd, x0, f_ff)
 
 
+@pytest.mark.slow
 def test_pallas_srb_lqr_matches_xla():
     from pointfoot_tpu.ops.pallas.riccati import pallas_srb_lqr
 

@@ -1,10 +1,12 @@
 """Pallas plan tick == XLA plan tick (interpret mode on CPU)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 
+@pytest.mark.slow
 def test_plan_tick_pallas_matches_xla(monkeypatch):
     from pointfoot_tpu.mpc.srb import SRBConfig, SRBController
     from pointfoot_tpu.ops.pallas import riccati as priccati

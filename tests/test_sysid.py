@@ -70,6 +70,7 @@ def test_gradients_flow_through_simulator(env, env_state):
     assert abs(float(g)) > 0.0
 
 
+@pytest.mark.slow
 def test_per_joint_friction_recovery(env, env_state):
     """Recover 6 DISTINCT per-joint DOF friction values from a trajectory
     (reference identifies dof_props["friction"][i] per joint,
@@ -112,6 +113,7 @@ def test_per_joint_friction_recovery(env, env_state):
     assert np.unique(np.round(np.asarray(fric), 3)).size == 6  # distinct
 
 
+@pytest.mark.slow
 def test_gan_train_step(env, env_state):
     from pointfoot_tpu.sysid.gan import GANTrainer
 
@@ -130,6 +132,7 @@ def test_gan_train_step(env, env_state):
     assert -1.0 <= float(mass[0]) <= 2.0
 
 
+@pytest.mark.slow
 def test_wgan_train_step(env, env_state):
     from pointfoot_tpu.sysid.wgan import WGANTrainer
 
