@@ -54,3 +54,31 @@ def test_reader_rejects_garbage(tmp_path):
     p.write_bytes(b"not a tlog file at all")
     with pytest.raises(ValueError):
         read_log(str(p))
+
+
+def test_native_policy_runner_matches_flax(tmp_path):
+    """C++ deployment runner (runtime/policy.py) decodes the .onnx actor
+    and matches the flax forward pass — the robot-side inference stack
+    (reference deploys via onnxruntime C++, simulate_trajectory.py:45-59)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointfoot_tpu.export.onnx import export_policy_as_onnx
+    from pointfoot_tpu.rl.networks import ActorCritic
+    from pointfoot_tpu.runtime.policy import NativePolicy
+
+    net = ActorCritic(num_actions=6, actor_hidden=(64, 32),
+                      critic_hidden=(16,))
+    params = net.init(jax.random.PRNGKey(3), jnp.zeros((1, 27)),
+                      jnp.zeros((1, 27)))
+    path = export_policy_as_onnx(params, 27, str(tmp_path / "p.onnx"))
+    pol = NativePolicy(path)
+    assert (pol.obs_dim, pol.act_dim, pol.num_layers) == (27, 6, 3)
+    obs = np.random.default_rng(4).normal(size=(16, 27)).astype(np.float32)
+    ref = np.asarray(net.apply(params, jnp.asarray(obs),
+                               method=net.act_mean))
+    out = pol(obs)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    # single-obs (robot control loop) path
+    np.testing.assert_allclose(pol(obs[0]), ref[0], atol=2e-5)
+    pol.close()
