@@ -56,6 +56,7 @@ def rollout(ctrl, phys, cmd, ticks, substeps=4, sub_dt=0.005):
         foot_pos = jax.vmap(lambda s: ctrl._foot_positions(s)[0])(p)
         out = dict(z=p.base_pos[:, 2], tilt=tilt,
                    roll=grav_b[:, 1], pitch=-grav_b[:, 0],
+                   wz=p.base_ang_vel[:, 2],
                    vx=p.base_lin_vel[:, 0], vy=p.base_lin_vel[:, 1],
                    x=p.base_pos[:, 0], phase=g.phase,
                    fz=fz, foot_y=foot_pos[..., 1], foot_z=foot_pos[..., 2])
@@ -68,6 +69,7 @@ def rollout(ctrl, phys, cmd, ticks, substeps=4, sub_dt=0.005):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vx", type=float, default=0.0)
+    ap.add_argument("--wz", type=float, default=0.0)
     ap.add_argument("--ticks", type=int, default=250)
     ap.add_argument("--b", type=int, default=4)
     ap.add_argument("--period", type=float, default=0.34)
@@ -100,7 +102,7 @@ def main():
             * jax.random.normal(kv, phys.base_lin_vel.shape),
             base_ang_vel=phys.base_ang_vel + args.perturb
             * jax.random.normal(kw, phys.base_ang_vel.shape))
-    cmd = jnp.broadcast_to(jnp.asarray([args.vx, 0.0, 0.0]), (args.b, 3))
+    cmd = jnp.broadcast_to(jnp.asarray([args.vx, 0.0, args.wz]), (args.b, 3))
 
     phys, tr = rollout(ctrl, phys, cmd, args.ticks)
     fallen = (tr["z"] < 0.35) | (tr["tilt"] > 0.8)  # (T, B)
@@ -108,7 +110,7 @@ def main():
     print(f"cmd vx={args.vx}  ticks={args.ticks} (dt 0.02)")
     print(f"time-to-fall per env [ticks]: {first_fall}")
     T10 = min(args.ticks, 50)
-    for name in ("z", "tilt", "vx", "vy"):
+    for name in ("z", "tilt", "vx", "vy", "wz"):
         v = tr[name]
         print(f"  {name}: t<1s mean {v[:T10].mean():+.3f} "
               f"| full mean {v.mean():+.3f} | min {v.min():+.3f} "

@@ -69,7 +69,7 @@ def test_biped_walks_closed_loop():
     feet = model.collision_indices("foot")
     ctrl = SteppingController(model, params, feet, np.zeros(6))
     B = 2
-    for vx_cmd, vx_tol in ((0.0, 0.12), (0.4, 0.12)):
+    for vx_cmd, vx_tol in ((0.0, 0.12), (0.4, 0.12), (0.8, 0.2)):
         phys = PhysicsState.default(model, np.zeros(6), batch=(B,),
                                     base_height=0.62)
         gait = ctrl.init(B, phys)
