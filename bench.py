@@ -21,7 +21,7 @@ import time
 
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
 TIMED_ITERS = int(os.environ.get("BENCH_ITERS", "20"))
-STEPS_PER_ITER = 10
+STEPS_PER_ITER = int(os.environ.get("BENCH_SCAN", "24"))
 MODE = os.environ.get("BENCH_MODE", "env")
 
 
