@@ -1,0 +1,115 @@
+"""Render a walking GIF: trained RL policy (env rollout) or gait-MPC.
+
+Replaces the reference's interactive viewer capture (play.py camera/frame
+recording, reference play.py:80-87) with headless artifact rendering.
+
+Usage:
+  python scripts/make_gif.py --mode policy --task pointfoot_rough \
+      --load_run logs/.../model_N --out docs/walk_rough.gif
+  python scripts/make_gif.py --mode gait --vx 0.4 --out docs/walk_gait.gif
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def tree_index(tree, i):
+    return jax.tree.map(lambda x: x[i], tree)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["policy", "gait"], default="policy")
+    ap.add_argument("--task", default="pointfoot_rough")
+    ap.add_argument("--load_run", default=None)
+    ap.add_argument("--out", default="docs/walk.gif")
+    ap.add_argument("--vx", type=float, default=0.4)
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--every", type=int, default=2,
+                    help="render every Nth control tick")
+    args = ap.parse_args()
+
+    from pointfoot_tpu.utils.visualizer import render_rollout
+
+    if args.mode == "gait":
+        from pointfoot_tpu.mpc.gait import SteppingController
+        from pointfoot_tpu.physics import dynamics
+        from pointfoot_tpu.physics.assets import get_model
+        from pointfoot_tpu.physics.model import PhysicsParams, PhysicsState
+
+        FLAT = lambda x, y: jnp.zeros_like(jnp.asarray(x, jnp.float32))
+        model = get_model("pointfoot")
+        params = PhysicsParams.nominal(model)
+        feet = model.collision_indices("foot")
+        ctrl = SteppingController(model, params, feet, np.zeros(model.nj))
+        phys = PhysicsState.default(model, np.zeros(model.nj), batch=(1,),
+                                    base_height=0.62)
+        gait = ctrl.init(1, phys)
+        cmd = jnp.asarray([[args.vx, 0.0, 0.0]])
+
+        @jax.jit
+        def substeps(p, tq):
+            def sub(pp, _):
+                return jax.vmap(lambda s, u: dynamics.step(
+                    model, params, s, u, FLAT, 0.005))(pp, tq), ()
+            p, _ = jax.lax.scan(sub, p, None, length=4)
+            return p
+
+        states = []
+        for t in range(args.steps):
+            tq, gait = ctrl.control(phys, cmd, gait)
+            phys = substeps(phys, tq)
+            if t % args.every == 0:
+                states.append(tree_index(phys, 0))
+        out = render_rollout(model, states, params, args.out,
+                             fps=25 // args.every)
+        print(f"wrote {out} ({len(states)} frames)")
+        return
+
+    from pointfoot_tpu.utils.helpers import get_load_path
+    from pointfoot_tpu.utils.registry import task_registry
+
+    env = task_registry.make_env(
+        args.task, num_envs=4,
+        cfg_patch=dict(noise=dict(add_noise=False),
+                       domain_rand=dict(push_robots=False)))
+    _, tc = task_registry.get_cfgs(args.task)
+    runner = task_registry.make_alg_runner(env, args.task, train_cfg=tc)
+    ts0, es0 = runner.init(jax.random.PRNGKey(0))
+    path = args.load_run or get_load_path(
+        os.path.join("logs", tc.runner.experiment_name))
+    ts, _ = runner.load(path, ts0, es0)
+    policy = runner.get_inference_policy(ts)
+    step = jax.jit(env.step)
+
+    state = env.init_state(jax.random.PRNGKey(1))
+    state = env.update_cmd(state, jnp.asarray([args.vx, 0.0, 0.0]))
+    state, out0 = step(state, jnp.zeros((4, env.num_actions)))
+    obs = out0.obs
+    states = []
+    for t in range(args.steps):
+        state, outp = step(state, policy(obs))
+        state = env.update_cmd(state, jnp.asarray([args.vx, 0.0, 0.0]))
+        obs = outp.obs
+        if t % args.every == 0:
+            states.append(tree_index(state.physics, 0))
+    terrain = getattr(env, "terrain", None)
+    out = render_rollout(env.model, states, env.params_single
+                         if hasattr(env, "params_single")
+                         else tree_index(state.params, 0),
+                         args.out, terrain=terrain, fps=25 // args.every)
+    print(f"wrote {out} ({len(states)} frames)")
+
+
+if __name__ == "__main__":
+    main()
