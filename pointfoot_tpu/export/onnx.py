@@ -200,6 +200,8 @@ def load_onnx_policy(path: str):
         layers, activation, _, _, _ = read_mlp_onnx(path)
         acts = {"elu": lambda x: np.where(x > 0, x, np.expm1(x)),
                 "relu": lambda x: np.maximum(x, 0.0),
+                "selu": lambda x: 1.0507010 * np.where(
+                    x > 0, x, 1.6732632 * np.expm1(x)),
                 "tanh": np.tanh, "linear": lambda x: x}
         act = acts[activation]
 

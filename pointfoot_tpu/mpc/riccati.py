@@ -221,6 +221,14 @@ def parallel_backward_pass(fx, fu, cx, cu, cxx, cuu, cux, cxT, cxxT, reg):
     (K_t, k_t) off the suffix value functions.  Returns the same
     (Ks, ks, dV) triple; parity with the sequential pass is pinned in
     tests/test_mpc.py (builder queue #5 / VERDICT round-1 item 10).
+
+    CAVEAT (regularization semantics): the regularizer is folded into the
+    WHOLE value recursion (cuu + reg·I everywhere), whereas the sequential
+    pass regularizes only the gain solve and propagates the value with the
+    unregularized Quu.  The two are identical as reg -> 0 and differ by
+    O(reg) per step at large reg — use the parallel pass with small/fixed
+    regularization (well-conditioned problems, long horizons), not inside
+    aggressive LM reg-escalation schedules.
     """
     T, n = fx.shape[0], fx.shape[-1]
     m = fu.shape[-1]

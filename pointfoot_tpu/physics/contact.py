@@ -119,6 +119,15 @@ def contact_terms(
         # swing foot grazing the ground cannot lift off.  Continuous in
         # v_n: resting/approaching contacts keep full damping.
         v_n = jnp.dot(n, v_p)
+        # NOTE the v_n <= 0 (approach/impact) side also passes through the
+        # f_spring/0.05 cap, i.e. damping ramps in over the first
+        # d/(20k) ~ 5 mm of penetration rather than applying in full at
+        # first touch.  This is deliberate: measured drop restitution stays
+        # ~0.05 (scripts/contact_calibration.py — the no-bounce anchor
+        # holds because static penetrations reach that depth), and the
+        # graded onset avoids a force discontinuity at contact activation
+        # that both the gait layer and iLQR's linearization are sensitive
+        # to (a hard d-at-first-touch variant destabilizes the tuned gait).
         d_cap = f_n_spring / jnp.maximum(v_n, 0.05)
         d_n = jnp.where(active, jnp.minimum(d, d_cap), 0.0)
         # friction cone at the PREDICTED normal force: a separating foot

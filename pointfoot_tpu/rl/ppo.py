@@ -116,12 +116,12 @@ class PPO:
 
     # ------------------------------------------------------------------
 
-    def _loss(self, params, batch: Transition, advantages, returns):
+    def _loss_from_outputs(self, mean, std, value, batch: Transition,
+                           advantages, returns):
+        """Clipped-PPO loss given network outputs — shared by the
+        feed-forward (flat minibatch) and recurrent (sequence) paths so the
+        surrogate/value-clip/entropy/KL math exists exactly once."""
         cfg = self.cfg
-        mean, std = self.network.apply(
-            params, batch.obs, method=self.network.distribution)
-        value = self.network.apply(
-            params, batch.priv_obs, method=self.network.value)
         log_prob = gaussian_log_prob(mean, std, batch.action)
         ratio = jnp.exp(log_prob - batch.log_prob)
 
@@ -154,6 +154,34 @@ class PPO:
                        entropy=entropy, kl=kl)
         return loss, metrics
 
+    def _sgd_step(self, ts: TrainState, grads, metrics) -> TrainState:
+        """Optimizer apply + adaptive-KL LR corridor — one implementation
+        for both PPO variants (the corridor was once hand-mirrored and is
+        easy to drift)."""
+        cfg = self.cfg
+        updates, new_opt = self.tx.update(grads, ts.opt_state, ts.params)
+        updates = jax.tree.map(lambda u: u * ts.learning_rate, updates)
+        new_params = optax.apply_updates(ts.params, updates)
+        lr = ts.learning_rate
+        if cfg.schedule == "adaptive":
+            lr = jnp.where(metrics["kl"] > cfg.desired_kl * 2.0,
+                           jnp.maximum(lr / 1.5, cfg.min_lr), lr)
+            lr = jnp.where(
+                (metrics["kl"] < cfg.desired_kl / 2.0)
+                & (metrics["kl"] > 0.0),
+                jnp.minimum(lr * 1.5, cfg.max_lr), lr)
+        return ts.replace(params=new_params, opt_state=new_opt,
+                          learning_rate=lr,
+                          update_count=ts.update_count + 1)
+
+    def _loss(self, params, batch: Transition, advantages, returns):
+        mean, std = self.network.apply(
+            params, batch.obs, method=self.network.distribution)
+        value = self.network.apply(
+            params, batch.priv_obs, method=self.network.value)
+        return self._loss_from_outputs(mean, std, value, batch, advantages,
+                                       returns)
+
     def update(self, train_state: TrainState, rollout: Transition,
                last_value: jax.Array, key: jax.Array
                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -183,21 +211,7 @@ class PPO:
                 mb_ret = ret_flat[idx]
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss, has_aux=True)(ts.params, mb, mb_adv, mb_ret)
-                updates, new_opt = self.tx.update(grads, ts.opt_state, ts.params)
-                updates = jax.tree.map(lambda u: u * ts.learning_rate, updates)
-                new_params = optax.apply_updates(ts.params, updates)
-                # adaptive LR on the desired-KL corridor (rsl_rl schedule)
-                lr = ts.learning_rate
-                if cfg.schedule == "adaptive":
-                    lr = jnp.where(metrics["kl"] > cfg.desired_kl * 2.0,
-                                   jnp.maximum(lr / 1.5, cfg.min_lr), lr)
-                    lr = jnp.where(
-                        (metrics["kl"] < cfg.desired_kl / 2.0)
-                        & (metrics["kl"] > 0.0),
-                        jnp.minimum(lr * 1.5, cfg.max_lr), lr)
-                ts = ts.replace(params=new_params, opt_state=new_opt,
-                                learning_rate=lr,
-                                update_count=ts.update_count + 1)
+                ts = self._sgd_step(ts, grads, metrics)
                 return ts, metrics
 
             ts, metrics = jax.lax.scan(
@@ -247,36 +261,9 @@ class RecurrentPPO(PPO):
 
     def _loss_seq(self, params, carry0, batch: Transition, advantages,
                   returns):
-        cfg = self.cfg
         mean, std, value = self._sequence_outputs(params, carry0, batch)
-        log_prob = gaussian_log_prob(mean, std, batch.action)
-        ratio = jnp.exp(log_prob - batch.log_prob)
-
-        norm_adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
-        surr1 = ratio * norm_adv
-        surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param,
-                         1.0 + cfg.clip_param) * norm_adv
-        surrogate_loss = -jnp.mean(jnp.minimum(surr1, surr2))
-
-        if cfg.use_clipped_value_loss:
-            value_clipped = batch.value + jnp.clip(
-                value - batch.value, -cfg.clip_param, cfg.clip_param)
-            v_loss = jnp.maximum(
-                (value - returns) ** 2, (value_clipped - returns) ** 2)
-        else:
-            v_loss = (value - returns) ** 2
-        value_loss = jnp.mean(v_loss)
-        entropy = jnp.mean(gaussian_entropy(std))
-        loss = (surrogate_loss + cfg.value_loss_coef * value_loss
-                - cfg.entropy_coef * entropy)
-        kl = jnp.mean(jnp.sum(
-            jnp.log(std / batch.std + 1e-5)
-            + (batch.std**2 + (batch.mean - mean) ** 2) / (2.0 * std**2)
-            - 0.5,
-            axis=-1))
-        metrics = dict(surrogate_loss=surrogate_loss, value_loss=value_loss,
-                       entropy=entropy, kl=kl)
-        return loss, metrics
+        return self._loss_from_outputs(mean, std, value, batch, advantages,
+                                       returns)
 
     def update(self, train_state: TrainState, rollout: Transition,
                last_value: jax.Array, key: jax.Array, carry0=None
@@ -304,22 +291,7 @@ class RecurrentPPO(PPO):
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss_seq, has_aux=True)(
                     ts.params, mb_carry, mb, mb_adv, mb_ret)
-                updates, new_opt = self.tx.update(grads, ts.opt_state,
-                                                  ts.params)
-                updates = jax.tree.map(lambda u: u * ts.learning_rate,
-                                       updates)
-                new_params = optax.apply_updates(ts.params, updates)
-                lr = ts.learning_rate
-                if cfg.schedule == "adaptive":
-                    lr = jnp.where(metrics["kl"] > cfg.desired_kl * 2.0,
-                                   jnp.maximum(lr / 1.5, cfg.min_lr), lr)
-                    lr = jnp.where(
-                        (metrics["kl"] < cfg.desired_kl / 2.0)
-                        & (metrics["kl"] > 0.0),
-                        jnp.minimum(lr * 1.5, cfg.max_lr), lr)
-                ts = ts.replace(params=new_params, opt_state=new_opt,
-                                learning_rate=lr,
-                                update_count=ts.update_count + 1)
+                ts = self._sgd_step(ts, grads, metrics)
                 return ts, metrics
 
             ts, metrics = jax.lax.scan(

@@ -266,6 +266,13 @@ class OnPolicyRunner:
 
         carry = (self.network.initialize_carry((self.env.num_envs,))
                  if self.recurrent else None)
+        if carry is not None and self.mesh is not None:
+            # shard the batch-dim carry like the env state — an unsharded
+            # carry would be resharded every iteration (and is process-local
+            # garbage on a multihost pod slice)
+            from pointfoot_tpu.parallel.mesh import shard_batch
+
+            carry = shard_batch(carry, self.mesh)
 
         t_start = time.time()
         steps_per_iter = self.cfg.runner.num_steps_per_env * self.env.num_envs
@@ -426,10 +433,36 @@ class OnPolicyRunner:
     def get_inference_policy(self, train_state: TrainState):
         """Deterministic policy obs -> action mean (play.py:59).
 
-        Recurrent runners return a STATEFUL pair instead — use
+        For recurrent runners the returned callable manages the LSTM carry
+        internally (reset via `.reset()`, or automatically when the batch
+        size changes), so every caller keeps the plain `policy(obs)`
+        contract.  The explicit functional pair is available via
         `get_inference_policy_recurrent`."""
         if self.recurrent:
-            return self.get_inference_policy_recurrent(train_state)
+            step, carry0 = self.get_inference_policy_recurrent(train_state)
+
+            class _StatefulPolicy:
+                def __init__(self):
+                    self._carry = None
+                    self._batch = None
+
+                def reset(self, batch: Optional[int] = None):
+                    if batch is not None:
+                        self._carry = carry0(batch)
+                        self._batch = batch
+                    else:
+                        self._carry = None
+                        self._batch = None
+
+                def __call__(self, obs):
+                    b = obs.shape[0] if obs.ndim > 1 else 1
+                    if self._carry is None or b != self._batch:
+                        self.reset(b)
+                    o = obs if obs.ndim > 1 else obs[None]
+                    self._carry, mean = step(self._carry, o)
+                    return mean if obs.ndim > 1 else mean[0]
+
+            return _StatefulPolicy()
         net = self.network
 
         @jax.jit

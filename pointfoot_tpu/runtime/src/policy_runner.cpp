@@ -192,8 +192,10 @@ Policy* ParseModel(const uint8_t* data, size_t size) {
   }
   if (pol->layers.empty()) { delete pol; return nullptr; }
   int widest = 0;
-  for (const auto& l : pol->layers)
-    widest = l.out > widest ? l.out : (l.in > widest ? l.in : widest);
+  for (const auto& l : pol->layers) {
+    if (l.in > widest) widest = l.in;
+    if (l.out > widest) widest = l.out;
+  }
   pol->scratch_a.resize(widest);
   pol->scratch_b.resize(widest);
   return pol;

@@ -160,9 +160,13 @@ def test_recurrent_training_improves():
                                            train_cfg=tc)
     assert runner.recurrent
     ts, es = runner.learn(8, key=jax.random.PRNGKey(0), log_every=4)
-    pol, carry0 = runner.get_inference_policy(ts)
+    pol, carry0 = runner.get_inference_policy_recurrent(ts)
     c = carry0(32)
     c, a = pol(c, jnp.zeros((32, env.num_obs)))
+    # the plain stateful surface every script uses must also work
+    sp = runner.get_inference_policy(ts)
+    a2 = sp(jnp.zeros((32, env.num_obs)))
+    assert a2.shape == (32, 6)
     assert a.shape == (32, 6)
     assert np.isfinite(np.asarray(a)).all()
 

@@ -82,3 +82,25 @@ def test_native_policy_runner_matches_flax(tmp_path):
     # single-obs (robot control loop) path
     np.testing.assert_allclose(pol(obs[0]), ref[0], atol=2e-5)
     pol.close()
+
+
+def test_native_policy_runner_wide_input(tmp_path):
+    """Regression: obs_dim wider than every hidden layer must not overflow
+    the C++ scratch buffers (review finding: nested-ternary max bug)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointfoot_tpu.export.onnx import export_policy_as_onnx
+    from pointfoot_tpu.rl.networks import ActorCritic
+    from pointfoot_tpu.runtime.policy import NativePolicy
+
+    net = ActorCritic(num_actions=6, actor_hidden=(16,), critic_hidden=(8,))
+    params = net.init(jax.random.PRNGKey(5), jnp.zeros((1, 27)),
+                      jnp.zeros((1, 27)))
+    path = export_policy_as_onnx(params, 27, str(tmp_path / "w.onnx"))
+    pol = NativePolicy(path)
+    obs = np.random.default_rng(6).normal(size=(8, 27)).astype(np.float32)
+    ref = np.asarray(net.apply(params, jnp.asarray(obs),
+                               method=net.act_mean))
+    np.testing.assert_allclose(pol(obs), ref, atol=2e-5)
+    pol.close()
