@@ -23,9 +23,11 @@ public method) on top of mpc/srb.py:
 * stance legs: SRB ground-reaction forces (contact-gated schedule)
   realized via tau = C_j - J^T f.
 
-Validated closed-loop (tests/test_gait.py): >=10 s walking at cmd vx in
-{0.0, 0.4} m/s with zero falls on flat ground at the reference's 50 Hz /
-200 Hz two-rate scheme.  Everything is batched (vmap over scenarios) and
+Validated closed-loop (tests/test_gait.py): >=6-10 s walking at cmd vx in
+{0.0, 0.4, 0.8} m/s with zero falls on flat ground at the reference's
+50 Hz / 200 Hz two-rate scheme (speed-adaptive cadence), turning at
+wz commands without falls (~60% yaw-rate tracking — stepping-based yaw
+is future work).  Everything is batched (vmap over scenarios) and
 jit-safe; `GaitState` is a small pytree carried across control ticks.
 """
 
