@@ -770,8 +770,18 @@ class LeggedEnv:
             dist = jnp.linalg.norm(
                 state.physics.base_pos[:, :2] - state.env_origin[:, :2], axis=-1)
             move_up = dist > self.terrain.terrain_length / 2
+            # DELIBERATE deviation from point_foot.py:630: the reference
+            # scales required distance by the FULL episode length even for
+            # episodes that terminated early, demoting a robot that tracked
+            # perfectly until a fall at t<T for "missing" the remaining
+            # (T-t) worth of distance.  Under honest (non-adhesive) contact
+            # this over-demotion traps the whole batch at level ~1 and the
+            # policy overfits easy terrain (observed: terrain_level 4.5 ->
+            # 1.0 while tracking reward climbed).  Scale by the time the
+            # episode actually ran instead.
+            ep_secs = state.episode_step.astype(jnp.float32) * self.dt
             cmd_dist = (jnp.linalg.norm(state.commands[:, :2], axis=-1)
-                        * self.max_episode_length_s * 0.5)
+                        * ep_secs * 0.5)
             move_down = (dist < cmd_dist) & ~move_up
             new_level = level + move_up.astype(jnp.int32) - move_down.astype(jnp.int32)
             rand_level = jax.random.randint(
