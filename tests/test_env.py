@@ -278,3 +278,21 @@ class TestRewardGoldenValues:
             base_ang_vel=jnp.tile(jnp.asarray([0.0, 0.0, 0.4]), (B, 1)))
         r = REWARD_FNS["stand_still"](env, ctx)
         np.testing.assert_allclose(np.asarray(r), 0.3 + 0.2 + 0.4, atol=1e-6)
+
+
+@pytest.mark.parametrize("task", ["anymal_c_flat", "anymal_b", "a1",
+                                  "cassie", "anymal_c_rough"])
+def test_all_registered_tasks_step(task):
+    """Every registered robot family builds and steps with finite outputs
+    (reference smoke test semantics, tests/test_env.py:42-52, across the 7
+    registered tasks — pointfoot_{rough,flat} are covered elsewhere)."""
+    env = task_registry.make_env(task, num_envs=2)
+    state = env.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for _ in range(3):
+        state, out = step(state, jnp.zeros((2, env.num_actions)))
+    assert out.obs.shape == (2, env.num_obs)
+    assert np.isfinite(np.asarray(out.obs)).all()
+    assert np.isfinite(np.asarray(out.reward)).all()
+    if env.num_privileged_obs:
+        assert out.privileged_obs.shape == (2, env.num_privileged_obs)
