@@ -1,0 +1,72 @@
+#!/usr/bin/env bash
+# Watchdog for long TPU training runs over the axon PJRT tunnel.
+#
+# The tunnel is known to silently hang a running trainer (no traceback, the
+# process blocks forever in a device transfer — see docs/ROUND2_NOTES.md
+# "Operational hazards").  This script launches scripts/train.py and, whenever
+# the run's metrics.jsonl stops advancing for STALE_S seconds, kills that
+# exact PID (never by pattern) and relaunches from the newest model_* under
+# the log dir.  Exits when the target iteration count is reached.
+#
+# Usage:
+#   scripts/train_watchdog.sh LOG_DIR MAX_ITERS [extra train.py args...]
+set -u
+
+LOG_DIR=$1
+MAX_ITERS=$2
+shift 2
+EXTRA_ARGS=("$@")
+STALE_S=${STALE_S:-300}
+POLL_S=${POLL_S:-60}
+
+latest_ckpt() {
+  ls "$LOG_DIR" 2>/dev/null | grep -E '^model_[0-9]+$' | sed 's/model_//' \
+    | sort -n | tail -1
+}
+
+while true; do
+  it=$(latest_ckpt)
+  if [ -n "${it:-}" ] && [ "$it" -ge "$MAX_ITERS" ]; then
+    echo "[watchdog] reached $it >= $MAX_ITERS, done"
+    exit 0
+  fi
+  # train.py's --max_iterations counts iterations to run from the current
+  # point (learn() semantics), so pass the REMAINING budget on resume.
+  remaining=$MAX_ITERS
+  resume_args=()
+  if [ -n "${it:-}" ]; then
+    remaining=$((MAX_ITERS - it))
+    resume_args=(--resume --load_run "$LOG_DIR/model_$it")
+    echo "[watchdog] launching from iter $it ($remaining to go)"
+  else
+    echo "[watchdog] launching fresh"
+  fi
+  python scripts/train.py --log_dir "$LOG_DIR" --max_iterations "$remaining" \
+    "${resume_args[@]}" "${EXTRA_ARGS[@]}" \
+    > "/tmp/watchdog_train_$(basename "$LOG_DIR").log" 2>&1 &
+  PID=$!
+  echo "[watchdog] trainer pid $PID"
+  # Give compile + restore time before staleness checks bite.
+  sleep 180
+  while kill -0 "$PID" 2>/dev/null; do
+    now=$(date +%s)
+    m="$LOG_DIR/metrics.jsonl"
+    mt=$(stat -c %Y "$m" 2>/dev/null || echo 0)
+    if [ $((now - mt)) -gt "$STALE_S" ]; then
+      echo "[watchdog] metrics stale $((now - mt))s — killing $PID"
+      kill "$PID" 2>/dev/null
+      sleep 5
+      kill -9 "$PID" 2>/dev/null
+      break
+    fi
+    sleep "$POLL_S"
+  done
+  wait "$PID" 2>/dev/null
+  it=$(latest_ckpt)
+  if [ -n "${it:-}" ] && [ "$it" -ge "$MAX_ITERS" ]; then
+    echo "[watchdog] trainer exited at $it >= $MAX_ITERS, done"
+    exit 0
+  fi
+  echo "[watchdog] trainer exited (iter ${it:-none}), restarting in 10s"
+  sleep 10
+done
