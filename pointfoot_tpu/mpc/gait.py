@@ -25,9 +25,12 @@ public method) on top of mpc/srb.py:
 
 Validated closed-loop (tests/test_gait.py): >=6-10 s walking at cmd vx in
 {0.0, 0.4, 0.8} m/s with zero falls on flat ground at the reference's
-50 Hz / 200 Hz two-rate scheme (speed-adaptive cadence), turning at
-wz commands without falls (~60% yaw-rate tracking — stepping-based yaw
-is future work).  Everything is batched (vmap over scenarios) and
+50 Hz / 200 Hz two-rate scheme (speed-adaptive cadence); turning at
+wz +/-0.5 with ~80% yaw-rate tracking for vx <= 0.4 via the
+turn-adaptive double-support window (a point contact transmits no
+vertical-axis moment, so yaw authority lives in two-feet force couples
+— see GaitConfig.duty_turn_gain).  Everything is batched (vmap over
+scenarios) and
 jit-safe; `GaitState` is a small pytree carried across control ticks.
 """
 
@@ -75,6 +78,26 @@ class GaitConfig:
     # (0.34 s at stand, ~0.28 s at 0.8 m/s — higher speeds need faster
     # stepping to keep step length within reach)
     period_speed_gain: float = 0.35
+    # turn-adaptive double support: a point contact transmits no moment
+    # about its own vertical axis, so body yaw can only be driven during
+    # DOUBLE support (tangential force couples between the two feet) or by
+    # momentum exchange.  At duty 0.55 double support is ~10% of the cycle
+    # (~1 control tick) — raising duty while turning widens the couple
+    # window: duty_eff = duty + gain * min(|wz_cmd|, 1).  Lifts yaw-rate
+    # tracking 66% -> ~80% at wz 0.5 for vx <= 0.4 (scripts/gait_diag.py).
+    # The boost fades out above duty_turn_fade_v and is off by 2x that
+    # speed: long double support at speed stretches the stance beyond
+    # reach, and fast turning (vx 0.8 + wz 0.5) is unstable with or
+    # without it (documented envelope: turns at vx <= 0.4)
+    duty_turn_gain: float = 0.16
+    duty_max: float = 0.70
+    duty_turn_fade_v: float = 0.4
+    # anticipated-yaw placement: step targets (lateral bias + command
+    # direction) laid out in the heading frame at yaw + wz_cmd *
+    # anticipate * period.  Measured (scripts/gait_diag.py): no gain at
+    # vx=0 and 10% WORSE yaw progress at vx=0.4 (the rotated command
+    # direction fights the velocity tracking mid-arc), so default off
+    yaw_anticipate: float = 0.0
 
 
 class GaitState(NamedTuple):
@@ -169,9 +192,17 @@ class SteppingController:
             new_cmd_f = cmd
             period = g.period / (
                 1.0 + g.period_speed_gain * jnp.linalg.norm(cmd[:2]))
+            # widen double support while turning (see GaitConfig notes);
+            # fades out above duty_turn_fade_v forward speed
+            fade = jnp.clip(
+                1.0 - (jnp.linalg.norm(cmd[:2]) - g.duty_turn_fade_v)
+                / jnp.maximum(g.duty_turn_fade_v, 1e-6), 0.0, 1.0)
+            duty = jnp.minimum(
+                g.duty + fade * g.duty_turn_gain * jnp.minimum(
+                    jnp.abs(cmd[2]), 1.0), g.duty_max)
             foot_pos, hips, kin = self._foot_positions(p)
             leg_ph = _leg_phase(phase, self.offsets)  # (nf,)
-            stance = (leg_ph < g.duty).astype(jnp.float32)
+            stance = (leg_ph < duty).astype(jnp.float32)
             # support continuity: a leg may only lift off while the OTHER
             # leg is actually loaded — otherwise hold stance (prevents
             # freefall windows when a late-landing swing foot is still in
@@ -185,19 +216,22 @@ class SteppingController:
 
             new_phase = jnp.mod(phase + self.dt / period, 1.0)
             new_leg_ph = _leg_phase(new_phase, self.offsets)
-            new_stance = (new_leg_ph < g.duty).astype(jnp.float32)
+            new_stance = (new_leg_ph < duty).astype(jnp.float32)
             just_lifted = (stance > 0.5) & (new_stance < 0.5)
 
             # Raibert footstep target (world): capture-point placement
             # anchored at the CoM +/- y_off in the yaw frame.  z taken from
             # the current foot height (terrain-relative).
             yaw = quat_ops.yaw(p.base_quat)
+            # placement frame anticipates the heading at the step's
+            # mid-stance so the footsteps carve the commanded arc
+            yaw_step = yaw + g.yaw_anticipate * cmd[2] * period
             q_yaw = quat_ops.from_axis_angle(
-                jnp.asarray([0.0, 0.0, 1.0]), yaw)
+                jnp.asarray([0.0, 0.0, 1.0]), yaw_step)
             v = p.base_lin_vel
             v_cmd_w = quat_ops.rotate(
                 q_yaw, jnp.asarray([cmd[0], cmd[1], 0.0]))
-            T_st = g.duty * period
+            T_st = duty * period
             # slow integral trim on the placement: kills the constant
             # forward drift a pure proportional capture gain leaves
             # (steady-state error against the gait's systematic moments)
@@ -285,9 +319,9 @@ class SteppingController:
             # happens before the clock flips the leg back to stance (a
             # profile peaking mid-swing + tracking lag otherwise lands the
             # foot a quarter-cycle late, opening support gaps).
-            T_sw = (1.0 - g.duty) * period
+            T_sw = (1.0 - duty) * period
             for k, cidx in enumerate(self.feet_idx):
-                s_ph = jnp.clip((leg_ph[k] - g.duty) / (1.0 - g.duty), 0, 1)
+                s_ph = jnp.clip((leg_ph[k] - duty) / (1.0 - duty), 0, 1)
                 p_lo = new_liftoff[k]
                 p_tg = new_target[k]
                 # xy completes at the same s=0.8 the z-profile touches down

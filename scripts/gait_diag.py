@@ -54,10 +54,16 @@ def rollout(ctrl, phys, cmd, ticks, substeps=4, sub_dt=0.005):
         # roll ~ gy, pitch ~ -gx of body-frame gravity
         fz = p.contact_force[:, jnp.asarray(ctrl.feet_idx), 2]
         foot_pos = jax.vmap(lambda s: ctrl._foot_positions(s)[0])(p)
+        # heading-frame velocities: during a turn the world x/y components
+        # rotate with yaw, so tracking must be judged in the yaw frame
+        yaw = jax.vmap(quat_ops.yaw)(p.base_quat)
+        cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+        vx_h = cy * p.base_lin_vel[:, 0] + sy * p.base_lin_vel[:, 1]
+        vy_h = -sy * p.base_lin_vel[:, 0] + cy * p.base_lin_vel[:, 1]
         out = dict(z=p.base_pos[:, 2], tilt=tilt,
                    roll=grav_b[:, 1], pitch=-grav_b[:, 0],
-                   wz=p.base_ang_vel[:, 2],
-                   vx=p.base_lin_vel[:, 0], vy=p.base_lin_vel[:, 1],
+                   wz=p.base_ang_vel[:, 2], yaw=yaw,
+                   vx=vx_h, vy=vy_h,
                    x=p.base_pos[:, 0], phase=g.phase,
                    fz=fz, foot_y=foot_pos[..., 1], foot_z=foot_pos[..., 2])
         return (p, g), out
@@ -81,6 +87,11 @@ def main():
     ap.add_argument("--kd_cart", type=float, default=12.0)
     ap.add_argument("--swing_height", type=float, default=0.05)
     ap.add_argument("--perturb", type=float, default=0.0)
+    ap.add_argument("--w_omega", type=float, default=SRBConfig.w_omega)
+    ap.add_argument("--w_tan", type=float, default=SRBConfig.w_force_tangent)
+    ap.add_argument("--yaw_ant", type=float, default=GaitConfig.yaw_anticipate)
+    ap.add_argument("--duty_turn", type=float,
+                    default=GaitConfig.duty_turn_gain)
     args = ap.parse_args()
 
     model = get_model("pointfoot")
@@ -89,9 +100,13 @@ def main():
     gcfg = GaitConfig(period=args.period, duty=args.duty,
                       k_raibert=args.k_raibert, kp_cart=args.kp_cart,
                       y_off=args.y_off, k_int=args.k_int,
-                      kd_cart=args.kd_cart, swing_height=args.swing_height)
-    ctrl = SteppingController(model, params, feet, np.zeros(6),
-                              srb_cfg=SRBConfig(), gait_cfg=gcfg)
+                      kd_cart=args.kd_cart, swing_height=args.swing_height,
+                      yaw_anticipate=args.yaw_ant,
+                      duty_turn_gain=args.duty_turn)
+    ctrl = SteppingController(
+        model, params, feet, np.zeros(6),
+        srb_cfg=SRBConfig(w_omega=args.w_omega, w_force_tangent=args.w_tan),
+        gait_cfg=gcfg)
     phys = PhysicsState.default(model, np.zeros(6), batch=(args.b,),
                                 base_height=0.62)
     if args.perturb > 0:
@@ -109,6 +124,13 @@ def main():
     first_fall = np.where(fallen.any(0), fallen.argmax(0), args.ticks)
     print(f"cmd vx={args.vx}  ticks={args.ticks} (dt 0.02)")
     print(f"time-to-fall per env [ticks]: {first_fall}")
+    # yaw progress: achieved heading vs the commanded-integral (unwrapped)
+    yaw_uw = np.unwrap(tr["yaw"], axis=0)
+    yaw_gain = (yaw_uw[-1] - yaw_uw[0]).mean()
+    yaw_cmd_total = args.wz * args.ticks * 0.02
+    if abs(yaw_cmd_total) > 1e-6:
+        print(f"yaw progress: {yaw_gain:+.3f} rad of {yaw_cmd_total:+.3f} "
+              f"commanded ({100 * yaw_gain / yaw_cmd_total:.0f}%)")
     T10 = min(args.ticks, 50)
     for name in ("z", "tilt", "vx", "vy", "wz"):
         v = tr[name]

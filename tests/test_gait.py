@@ -93,3 +93,50 @@ def test_biped_walks_closed_loop():
         # steady-state tracking over the last 4 s
         vx_ss = vxs[100:].mean()
         assert abs(vx_ss - vx_cmd) < vx_tol, (vx_cmd, vx_ss)
+
+
+@pytest.mark.slow
+def test_biped_turns_closed_loop():
+    """Stepping-based turning (round-3 queue #2): with the turn-adaptive
+    double-support window, the biped tracks >=70% of the commanded yaw
+    rate at wz +/-0.5 rad/s (vx 0 and 0.4) with zero falls.  A point
+    contact transmits no vertical-axis moment, so ~80% rate tracking is
+    the measured ceiling of force-couple yaw on this robot; heading-mode
+    commands close the remaining gap through the wz = f(heading error)
+    outer loop (legged_env heading controller)."""
+    from pointfoot_tpu.physics import dynamics
+
+    FLAT = lambda x, y: jnp.zeros_like(jnp.asarray(x, jnp.float32))
+    model = get_model("pointfoot")
+    params = PhysicsParams.nominal(model)
+    feet = model.collision_indices("foot")
+    ctrl = SteppingController(model, params, feet, np.zeros(6))
+    B = 2
+    for vx_cmd, wz_cmd in ((0.0, 0.5), (0.4, 0.5), (0.4, -0.5)):
+        phys = PhysicsState.default(model, np.zeros(6), batch=(B,),
+                                    base_height=0.62)
+        gait = ctrl.init(B, phys)
+        cmd = jnp.broadcast_to(jnp.asarray([vx_cmd, 0.0, wz_cmd]), (B, 3))
+
+        def tick(carry, _):
+            p, g = carry
+            tau, g = ctrl.control(p, cmd, g)
+
+            def sub(pp, _):
+                return jax.vmap(lambda s, t: dynamics.step(
+                    model, params, s, t, FLAT, 0.005))(pp, tau), ()
+
+            p, _ = jax.lax.scan(sub, p, None, length=4)
+            from pointfoot_tpu.ops import quat as quat_ops
+            yaw = jax.vmap(quat_ops.yaw)(p.base_quat)
+            return (p, g), (p.base_pos[:, 2], yaw)
+
+        ticks = 250  # 5 s
+        (phys, gait), (zs, yaws) = jax.lax.scan(
+            tick, (phys, gait), None, length=ticks)
+        zs = np.asarray(zs)
+        yaws = np.unwrap(np.asarray(yaws), axis=0)
+        assert zs.min() > 0.40, (
+            f"fell at vx={vx_cmd} wz={wz_cmd}: min z {zs.min()}")
+        progress = (yaws[-1] - yaws[0]).mean() / (wz_cmd * ticks * 0.02)
+        assert progress > 0.70, (vx_cmd, wz_cmd, progress)
