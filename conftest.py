@@ -10,6 +10,18 @@ override all "CPU" tests silently compile through the remote TPU tunnel
 
 import os
 
+# Keep pytest-xdist workers OFF the TPU tunnel entirely: the axon plugin's
+# sitecustomize registers (and dials the remote pool) in every python
+# process whose env has PALLAS_AXON_POOL_IPS set.  A `-n 4` test run spawns
+# 4 workers that all dial at once, which is exactly the "parallel JAX
+# clients storm the tunnel" failure that silently hangs a concurrently
+# running TPU trainer (docs/ROUND2_NOTES.md "Operational hazards").  Workers
+# inherit this (already-mutated) environ from the master, so their
+# sitecustomize skips registration; the master itself registered before
+# this file ran, which is the same single-client footprint as any other
+# lone python process.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,4 +1,4 @@
-"""Gait / stepping layer over the SRB force planner: point-foot biped MPC.
+r"""Gait / stepping layer over the SRB force planner: point-foot biped MPC.
 
 A point foot gives the biped a line-segment support region, so standing SRB
 balance is structurally impossible — bipeds balance by STEPPING (which is
@@ -59,8 +59,20 @@ class GaitConfig:
     swing_height: float = 0.05  # [m] apex
     # velocity-error foot placement gain; the capture-point value
     # sqrt(z0/g) ~ 0.25 for z0=0.62 — the liftoff-frozen 0.04 of round 1
-    # could not arrest lateral falls
+    # could not arrest lateral falls.  Keep this AT the capture value:
+    # overcapture (gain above sqrt(z0/g)) REVERSES the velocity instead of
+    # zeroing it, and under a large perturbation the reversal escalates
+    # step-over-step until the target exceeds step_reach
     k_raibert: float = 0.25
+    # extra placement gain for SMALL velocity errors, saturating at
+    # k_extra * err_sat of added offset: the small rotating tangential
+    # error during a turn then lands feet further along the arc,
+    # lengthening the yaw force-couple levers (measured: 63% -> ~80% yaw
+    # tracking at wz 0.5), while a large push still gets the pure capture
+    # gain — a 16-env perturbed-start battery falls 3x more often when the
+    # extra gain applies to large errors (overcapture reversal)
+    k_extra: float = 0.095
+    err_sat: float = 0.2  # [m/s] error scale where the extra gain fades
     step_reach: float = 0.30  # [m] max step offset from the anchor
     kp_cart: float = 300.0  # swing task-space stiffness
     kd_cart: float = 12.0
@@ -78,6 +90,11 @@ class GaitConfig:
     # (0.34 s at stand, ~0.28 s at 0.8 m/s — higher speeds need faster
     # stepping to keep step length within reach)
     period_speed_gain: float = 0.35
+    # error-adaptive cadence: under a large velocity ERROR (push/perturbed
+    # start) the next capture step cannot wait half a period — quicken the
+    # clock by gain*min(|v - v_cmd|, cap) so recovery steps land sooner
+    period_err_gain: float = 0.0
+    period_err_cap: float = 1.0
     # turn-adaptive double support: a point contact transmits no moment
     # about its own vertical axis, so body yaw can only be driven during
     # DOUBLE support (tangential force couples between the two feet) or by
@@ -115,8 +132,17 @@ def _leg_phase(phase, leg_offset):
 class SteppingController:
     """Biped walking: SRB stance forces + Raibert swing stepping."""
 
+    # Walking-tuned SRB weights: cheaper TANGENTIAL force (3e-3 vs the
+    # standing-balance default 5e-3) is the main yaw-authority lever — the
+    # double-support force couple that turns the body is made of tangential
+    # forces, and at 5e-3 the planner rations them to ~68% yaw-rate
+    # tracking at (vx 0.4, wz +0.5) where 3e-3 reaches ~80% both
+    # directions with no loss in the perturbed-start battery
+    # (tests/test_gait.py::test_biped_turns_closed_loop pins this)
+    WALK_SRB = SRBConfig(w_force_tangent=3e-3)
+
     def __init__(self, model: RobotModel, params_single: PhysicsParams,
-                 feet_idx, default_qpos, srb_cfg: SRBConfig = SRBConfig(),
+                 feet_idx, default_qpos, srb_cfg: SRBConfig = WALK_SRB,
                  gait_cfg: GaitConfig = GaitConfig(), dt: float = 0.02):
         self.model = model
         self.params = params_single
@@ -190,8 +216,18 @@ class SteppingController:
             dmax = g.cmd_slew * self.dt
             cmd = cmd_f + jnp.clip(cmd - cmd_f, -dmax, dmax)
             new_cmd_f = cmd
+            # error-adaptive term uses the CURRENT yaw frame for the command
+            # direction (cheap; placement recomputes it precisely below)
+            yaw0 = quat_ops.yaw(p.base_quat)
+            v_cmd_w0 = quat_ops.rotate(
+                quat_ops.from_axis_angle(jnp.asarray([0.0, 0.0, 1.0]), yaw0),
+                jnp.asarray([cmd[0], cmd[1], 0.0]))
+            v_err = jnp.minimum(
+                jnp.linalg.norm((p.base_lin_vel - v_cmd_w0)[:2]),
+                g.period_err_cap)
             period = g.period / (
-                1.0 + g.period_speed_gain * jnp.linalg.norm(cmd[:2]))
+                1.0 + g.period_speed_gain * jnp.linalg.norm(cmd[:2])
+                + g.period_err_gain * v_err)
             # widen double support while turning (see GaitConfig notes);
             # fades out above duty_turn_fade_v forward speed
             fade = jnp.clip(
@@ -237,8 +273,17 @@ class SteppingController:
             # (steady-state error against the gait's systematic moments)
             new_v_int = jnp.clip(
                 v_int + self.dt * (v - v_cmd_w), -g.v_int_max, g.v_int_max)
-            offset = (v * T_st / 2 + g.k_raibert * (v - v_cmd_w)
-                      + g.k_int * new_v_int)
+            # neutral term uses the COMMANDED velocity (classic Raibert):
+            # with live v the error picks up an extra T_st/2 of effective
+            # capture gain, landing ~35% past the capture point — an
+            # overcaptured step REVERSES the velocity (LIP orbital energy
+            # goes negative) and the next step must catch the reversal,
+            # which escalates until the target leaves the reach cap
+            err = v - v_cmd_w
+            sat = jnp.minimum(1.0, g.err_sat / jnp.maximum(
+                jnp.linalg.norm(err[:2]), 1e-6))
+            offset = (v_cmd_w * T_st / 2 + (g.k_raibert + g.k_extra * sat)
+                      * err + g.k_int * new_v_int)
             offset = offset.at[2].set(0.0)
             norm = jnp.linalg.norm(offset[:2])
             offset = offset * jnp.minimum(

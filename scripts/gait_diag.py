@@ -87,11 +87,20 @@ def main():
     ap.add_argument("--kd_cart", type=float, default=12.0)
     ap.add_argument("--swing_height", type=float, default=0.05)
     ap.add_argument("--perturb", type=float, default=0.0)
-    ap.add_argument("--w_omega", type=float, default=SRBConfig.w_omega)
-    ap.add_argument("--w_tan", type=float, default=SRBConfig.w_force_tangent)
+    ap.add_argument("--push_vx", type=float, default=0.0)
+    ap.add_argument("--push_vy", type=float, default=0.0)
+    ap.add_argument("--w_omega", type=float,
+                    default=SteppingController.WALK_SRB.w_omega)
+    ap.add_argument("--w_tan", type=float,
+                    default=SteppingController.WALK_SRB.w_force_tangent)
     ap.add_argument("--yaw_ant", type=float, default=GaitConfig.yaw_anticipate)
     ap.add_argument("--duty_turn", type=float,
                     default=GaitConfig.duty_turn_gain)
+    ap.add_argument("--trace_env", type=int, default=0)
+    ap.add_argument("--err_gain", type=float,
+                    default=GaitConfig.period_err_gain)
+    ap.add_argument("--step_reach", type=float,
+                    default=GaitConfig.step_reach)
     args = ap.parse_args()
 
     model = get_model("pointfoot")
@@ -102,7 +111,9 @@ def main():
                       y_off=args.y_off, k_int=args.k_int,
                       kd_cart=args.kd_cart, swing_height=args.swing_height,
                       yaw_anticipate=args.yaw_ant,
-                      duty_turn_gain=args.duty_turn)
+                      duty_turn_gain=args.duty_turn,
+                      period_err_gain=args.err_gain,
+                      step_reach=args.step_reach)
     ctrl = SteppingController(
         model, params, feet, np.zeros(6),
         srb_cfg=SRBConfig(w_omega=args.w_omega, w_force_tangent=args.w_tan),
@@ -117,6 +128,9 @@ def main():
             * jax.random.normal(kv, phys.base_lin_vel.shape),
             base_ang_vel=phys.base_ang_vel + args.perturb
             * jax.random.normal(kw, phys.base_ang_vel.shape))
+    if args.push_vx or args.push_vy:
+        phys = phys.replace(base_lin_vel=phys.base_lin_vel + jnp.asarray(
+            [args.push_vx, args.push_vy, 0.0]))
     cmd = jnp.broadcast_to(jnp.asarray([args.vx, 0.0, args.wz]), (args.b, 3))
 
     phys, tr = rollout(ctrl, phys, cmd, args.ticks)
@@ -138,15 +152,16 @@ def main():
               f"| full mean {v.mean():+.3f} | min {v.min():+.3f} "
               f"| max {v.max():+.3f}")
     # dense trace of env 0 around the first fall
-    t_end = int(first_fall[0]) + 10
+    e = args.trace_env
+    t_end = int(first_fall[e]) + 10
     for t in range(0, min(t_end, args.ticks), 2):
-        print(f"  t={t*0.02:5.2f}s ph={tr['phase'][t,0]:.2f} "
-              f"z={tr['z'][t,0]:.3f} r={tr['roll'][t,0]:+.2f} "
-              f"p={tr['pitch'][t,0]:+.2f} vx={tr['vx'][t,0]:+.2f} "
-              f"vy={tr['vy'][t,0]:+.2f} "
-              f"fz=({tr['fz'][t,0,0]:5.1f},{tr['fz'][t,0,1]:5.1f}) "
-              f"fy=({tr['foot_y'][t,0,0]:+.3f},{tr['foot_y'][t,0,1]:+.3f}) "
-              f"fzp=({tr['foot_z'][t,0,0]:.3f},{tr['foot_z'][t,0,1]:.3f})")
+        print(f"  t={t*0.02:5.2f}s ph={tr['phase'][t,e]:.2f} "
+              f"z={tr['z'][t,e]:.3f} r={tr['roll'][t,e]:+.2f} "
+              f"p={tr['pitch'][t,e]:+.2f} vx={tr['vx'][t,e]:+.2f} "
+              f"vy={tr['vy'][t,e]:+.2f} "
+              f"fz=({tr['fz'][t,e,0]:5.1f},{tr['fz'][t,e,1]:5.1f}) "
+              f"fy=({tr['foot_y'][t,e,0]:+.3f},{tr['foot_y'][t,e,1]:+.3f}) "
+              f"fzp=({tr['foot_z'][t,e,0]:.3f},{tr['foot_z'][t,e,1]:.3f})")
 
 
 if __name__ == "__main__":

@@ -45,6 +45,7 @@ while true; do
     "${resume_args[@]}" "${EXTRA_ARGS[@]}" \
     > "/tmp/watchdog_train_$(basename "$LOG_DIR").log" 2>&1 &
   PID=$!
+  LAUNCH_TS=$(date +%s)
   echo "[watchdog] trainer pid $PID"
   # Give compile + restore time before staleness checks bite.
   sleep 180
@@ -52,6 +53,15 @@ while true; do
     now=$(date +%s)
     m="$LOG_DIR/metrics.jsonl"
     mt=$(stat -c %Y "$m" 2>/dev/null || echo 0)
+    # Staleness is relative to the NEWER of (last metrics write, this
+    # trainer's launch): metrics.jsonl predates the launch, and judging a
+    # fresh trainer by the previous trainer's last write kills every
+    # relaunch 180 s in — before restore + compile + the first 50-iter
+    # metrics flush can touch the file (observed: a ~1 h kill/relaunch
+    # churn loop with zero training progress).
+    if [ "$mt" -lt "$LAUNCH_TS" ]; then
+      mt=$LAUNCH_TS
+    fi
     if [ $((now - mt)) -gt "$STALE_S" ]; then
       echo "[watchdog] metrics stale $((now - mt))s — killing $PID"
       kill "$PID" 2>/dev/null
