@@ -91,10 +91,20 @@ class GaitConfig:
     # stepping to keep step length within reach)
     period_speed_gain: float = 0.35
     # error-adaptive cadence: under a large velocity ERROR (push/perturbed
-    # start) the next capture step cannot wait half a period — quicken the
-    # clock by gain*min(|v - v_cmd|, cap) so recovery steps land sooner
+    # start) quicken the clock by gain*min(|v - v_cmd|, cap) so recovery
+    # steps land sooner.  Measured across 4 seeds x 16 perturbed starts
+    # (scripts/gait_diag.py --perturb 0.15 --seed {1,2,3,7}): the gain
+    # only SHUFFLES which marginal env falls (4 vs 3 falls/64 at vx 0.4;
+    # 17 vs 16.5/64 at 0.8) — the apparent win on any single seed is
+    # selection noise, so the default stays 0.  If enabled, the fades are
+    # load-bearing: quickening during an arcing walk shrinks the
+    # double-support window yaw authority lives in (87% -> 62% tracking,
+    # then falls at wz 0.5), and stacking it on the speed-quickened period
+    # at 0.8 m/s makes steps too rapid to place (5/16 vs 1/16 falls)
     period_err_gain: float = 0.0
     period_err_cap: float = 1.0
+    period_err_wz_fade: float = 0.3
+    period_err_fade_v: float = 0.4
     # turn-adaptive double support: a point contact transmits no moment
     # about its own vertical axis, so body yaw can only be driven during
     # DOUBLE support (tangential force couples between the two feet) or by
@@ -123,6 +133,7 @@ class GaitState(NamedTuple):
     target_pos: jax.Array  # (B, nf, 3) current step target
     v_int: jax.Array  # (B, 3) integrated velocity error (placement trim)
     cmd_f: jax.Array  # (B, 3) slew-limited command actually tracked
+    ground_z: jax.Array  # (B,) latched ground height from loaded feet
 
 
 def _leg_phase(phase, leg_offset):
@@ -168,6 +179,7 @@ class SteppingController:
             target_pos=fp,
             v_int=jnp.zeros((batch, 3)),
             cmd_f=jnp.zeros((batch, 3)),
+            ground_z=jnp.min(fp[..., 2], axis=-1),
         )
 
     # ------------------------------------------------------------------
@@ -209,7 +221,7 @@ class SteppingController:
         """One 50 Hz tick: returns (torques (B, nj), new GaitState)."""
         g = self.gait
 
-        def one(p, cmd, phase, liftoff, target, v_int, cmd_f):
+        def one(p, cmd, phase, liftoff, target, v_int, cmd_f, gz_prev):
             # slew-limit the tracked command: a step to 0.4 m/s from rest
             # excites the startup transient that tips the biped; ramping at
             # cmd_slew keeps the capture steps within reach
@@ -225,6 +237,11 @@ class SteppingController:
             v_err = jnp.minimum(
                 jnp.linalg.norm((p.base_lin_vel - v_cmd_w0)[:2]),
                 g.period_err_cap)
+            v_err = v_err * jnp.clip(
+                1.0 - jnp.abs(cmd[2]) / g.period_err_wz_fade, 0.0, 1.0)
+            v_err = v_err * jnp.clip(
+                1.0 - (jnp.linalg.norm(cmd[:2]) - g.period_err_fade_v)
+                / jnp.maximum(g.period_err_fade_v, 1e-6), 0.0, 1.0)
             period = g.period / (
                 1.0 + g.period_speed_gain * jnp.linalg.norm(cmd[:2])
                 + g.period_err_gain * v_err)
@@ -297,9 +314,15 @@ class SteppingController:
             bias = jax.vmap(lambda s: quat_ops.rotate(
                 q_yaw, jnp.asarray([0.0, 1.0, 0.0]) * (s * g.y_off)))(side)
             # ground estimate from the LOADED feet (an airborne foot's own
-            # z would feed back into its target and levitate it)
+            # z would feed back into its target and levitate it).  With NO
+            # foot loaded (flight after a touchdown bounce) keep the LAST
+            # grounded estimate: re-deriving it from the airborne feet makes
+            # the reach-down target fall with the robot, so the legs never
+            # extend to the real ground and flight ends in a crash
+            # (perturbed-start battery, env-3 trace at t=0.44-0.68)
             gz = jnp.min(jnp.where(loaded > 0.5, foot_pos[:, 2], 1e9))
-            ground_z = jnp.where(gz > 1e8, jnp.min(foot_pos[:, 2]), gz)
+            ground_z = jnp.where(gz > 1e8, gz_prev, gz)
+            new_gz = ground_z
             anchor = (com[None, :] + bias).at[:, 2].set(ground_z)
             tgt = anchor + offset[None, :]
 
@@ -403,10 +426,11 @@ class SteppingController:
             tau = jnp.clip(tau, -self.model.effort_limit,
                            self.model.effort_limit)
             return (tau, new_phase, new_liftoff, new_target, new_v_int,
-                    new_cmd_f)
+                    new_cmd_f, new_gz)
 
-        tau, phase, liftoff, target, v_int, cmd_f = jax.vmap(one)(
+        tau, phase, liftoff, target, v_int, cmd_f, gz = jax.vmap(one)(
             phys, command, gait.phase, gait.liftoff_pos, gait.target_pos,
-            gait.v_int, gait.cmd_f)
+            gait.v_int, gait.cmd_f, gait.ground_z)
         return tau, GaitState(phase=phase, liftoff_pos=liftoff,
-                              target_pos=target, v_int=v_int, cmd_f=cmd_f)
+                              target_pos=target, v_int=v_int, cmd_f=cmd_f,
+                              ground_z=gz)

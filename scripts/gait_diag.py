@@ -101,6 +101,7 @@ def main():
                     default=GaitConfig.period_err_gain)
     ap.add_argument("--step_reach", type=float,
                     default=GaitConfig.step_reach)
+    ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
 
     model = get_model("pointfoot")
@@ -121,7 +122,7 @@ def main():
     phys = PhysicsState.default(model, np.zeros(6), batch=(args.b,),
                                 base_height=0.62)
     if args.perturb > 0:
-        key = jax.random.PRNGKey(7)
+        key = jax.random.PRNGKey(args.seed)
         kv, kw = jax.random.split(key)
         phys = phys.replace(
             base_lin_vel=phys.base_lin_vel + args.perturb

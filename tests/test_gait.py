@@ -96,6 +96,52 @@ def test_biped_walks_closed_loop():
 
 
 @pytest.mark.slow
+def test_biped_survives_perturbed_starts():
+    """Perturbed-start robustness (round-3 queue #3): with the latched
+    ground estimate (flight recovery) and the commanded-velocity Raibert
+    neutral, at most 2 of 32 perturbed starts (2 seeds x 16 envs,
+    sigma=0.15 m/s on base lin+ang velocity) fall within 5 s at cmd
+    vx=0.4.  The round-1 controller lost ~4/32 (1/8 documented); outcomes
+    are marginal-stability sensitive, so the bound is aggregate, not
+    per-seed."""
+    from pointfoot_tpu.physics import dynamics
+
+    FLAT = lambda x, y: jnp.zeros_like(jnp.asarray(x, jnp.float32))
+    model = get_model("pointfoot")
+    params = PhysicsParams.nominal(model)
+    feet = model.collision_indices("foot")
+    ctrl = SteppingController(model, params, feet, np.zeros(6))
+    B = 16
+    falls = 0
+    for seed in (2, 7):
+        phys = PhysicsState.default(model, np.zeros(6), batch=(B,),
+                                    base_height=0.62)
+        kv, kw = jax.random.split(jax.random.PRNGKey(seed))
+        phys = phys.replace(
+            base_lin_vel=phys.base_lin_vel
+            + 0.15 * jax.random.normal(kv, phys.base_lin_vel.shape),
+            base_ang_vel=phys.base_ang_vel
+            + 0.15 * jax.random.normal(kw, phys.base_ang_vel.shape))
+        gait = ctrl.init(B, phys)
+        cmd = jnp.broadcast_to(jnp.asarray([0.4, 0.0, 0.0]), (B, 3))
+
+        def tick(carry, _):
+            p, g = carry
+            tau, g = ctrl.control(p, cmd, g)
+
+            def sub(pp, _):
+                return jax.vmap(lambda s, t: dynamics.step(
+                    model, params, s, t, FLAT, 0.005))(pp, tau), ()
+
+            p, _ = jax.lax.scan(sub, p, None, length=4)
+            return (p, g), p.base_pos[:, 2]
+
+        (phys, gait), zs = jax.lax.scan(tick, (phys, gait), None, length=250)
+        falls += int((np.asarray(zs).min(axis=0) < 0.40).sum())
+    assert falls <= 2, f"{falls}/32 perturbed starts fell"
+
+
+@pytest.mark.slow
 def test_biped_turns_closed_loop():
     """Stepping-based turning (round-3 queue #2): with the turn-adaptive
     double-support window, the biped tracks >=70% of the commanded yaw
