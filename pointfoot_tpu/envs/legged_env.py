@@ -90,6 +90,13 @@ class EnvState:
     episode_sums: jax.Array  # (B, n_terms)
     terminate: jax.Array  # (B,) bool — contact-only termination (sys-ID flag)
     time_out: jax.Array  # (B,) bool
+    # (B,) integral of base velocity along the (yaw-rotated) commanded
+    # direction — the terrain-curriculum demotion credit.  Net displacement
+    # under-credits an arcing walk (a yaw command curls the path, so a
+    # perfectly tracking robot "covers no distance" and is demoted); the
+    # signed along-command integral equals displacement for straight
+    # commands and arc length for turns, and gait wobble cancels
+    cmd_progress: jax.Array  # (B,)
 
 
 class StepOutput(NamedTuple):
@@ -353,6 +360,7 @@ class LeggedEnv:
                 else jnp.zeros((B, 1))),
             episode_sums=jnp.zeros((B, len(self.reward_names))),
             terminate=jnp.zeros(B, bool),
+            cmd_progress=jnp.zeros(B),
             time_out=jnp.zeros(B, bool),
         )
         # initial reset of all envs (reference reset_buf=1 init, PF:68)
@@ -480,12 +488,28 @@ class LeggedEnv:
 
         # --- physics (decimation substeps) ---
         phys, torques, act_carry = self._physics_rollout(state, actions)
+        # curriculum credit: signed velocity along the commanded direction
+        # (yaw-rotated body-frame command), integrated per control tick —
+        # see EnvState.cmd_progress.  Uses the commands that were ACTIVE
+        # during this tick's substeps (pre-resample).
+        yaw = quat_ops.yaw(phys.base_quat)
+        cmd_xy = state.commands[:, :2]
+        cmd_norm = jnp.linalg.norm(cmd_xy, axis=-1, keepdims=True)
+        cmd_dir_b = cmd_xy / jnp.maximum(cmd_norm, 1e-6)
+        cos_y, sin_y = jnp.cos(yaw), jnp.sin(yaw)
+        cmd_dir_w = jnp.stack(
+            [cos_y * cmd_dir_b[:, 0] - sin_y * cmd_dir_b[:, 1],
+             sin_y * cmd_dir_b[:, 0] + cos_y * cmd_dir_b[:, 1]], axis=-1)
+        progress = state.cmd_progress + self.dt * jnp.where(
+            cmd_norm[:, 0] > 0.05,
+            jnp.sum(phys.base_lin_vel[:, :2] * cmd_dir_w, axis=-1), 0.0)
         # push was consumed by substep 0
         state = state.replace(
             physics=phys, torques=torques, actuator_carry=act_carry,
             push_force=jnp.zeros_like(state.push_force),
             episode_step=state.episode_step + 1,
             common_step=state.common_step + 1,
+            cmd_progress=progress,
         )
 
         # --- derived quantities ---
@@ -782,7 +806,14 @@ class LeggedEnv:
             ep_secs = state.episode_step.astype(jnp.float32) * self.dt
             cmd_dist = (jnp.linalg.norm(state.commands[:, :2], axis=-1)
                         * ep_secs * 0.5)
-            move_down = (dist < cmd_dist) & ~move_up
+            # demote on the along-command progress credit, not net
+            # displacement: a yaw command curls the path, so an arcing
+            # robot that tracks perfectly shows little displacement from
+            # origin and would be demoted for obeying its command
+            # (round-2 queue; see EnvState.cmd_progress).  Promotion stays
+            # displacement-based — crossing the terrain is what promotion
+            # measures, and an arc genuinely doesn't cross it.
+            move_down = (state.cmd_progress < cmd_dist) & ~move_up
             new_level = level + move_up.astype(jnp.int32) - move_down.astype(jnp.int32)
             rand_level = jax.random.randint(
                 k1, (B,), 0, self.terrain.num_levels)
@@ -842,6 +873,7 @@ class LeggedEnv:
             env_origin=origin,
             lin_vel_x_range=rng_range,
             episode_step=jnp.where(done, 0, state.episode_step),
+            cmd_progress=jnp.where(done, 0.0, state.cmd_progress),
             actions=jnp.where(d3, 0.0, state.actions),
             last_actions=jnp.where(d3, 0.0, state.last_actions),
             last_qvel=jnp.where(d3, 0.0, state.last_qvel),

@@ -421,10 +421,33 @@ class OnPolicyRunner:
                     raw["train_state"]["learning_rate"]),
             )
         saved_env = raw["env_state"]
-        shapes_match = all(
-            np.asarray(a).shape == np.asarray(b).shape
-            for a, b in zip(jax.tree.leaves(env_state),
-                            jax.tree.leaves(saved_env)))
+
+        def shapes_ok(tpl, saved):
+            """Every leaf PRESENT IN THE CHECKPOINT must exist in the
+            template at the same path with the same shape.  Compared by
+            name, not leaf order (a flax struct's tree.leaves follow field
+            order while the restored raw dict's follow sorted-key order —
+            zipping them compares unrelated leaves).  Template-only fields
+            (added since the checkpoint was saved) keep their fresh value,
+            so old checkpoints stay restorable across EnvState growth."""
+            if isinstance(saved, dict):
+                if dataclasses.is_dataclass(tpl):
+                    return all(hasattr(tpl, k)
+                               and shapes_ok(getattr(tpl, k), v)
+                               for k, v in saved.items())
+                if isinstance(tpl, dict):
+                    return all(k in tpl and shapes_ok(tpl[k], v)
+                               for k, v in saved.items())
+                if isinstance(tpl, (tuple, list)):
+                    return all(int(k) < len(tpl)
+                               and shapes_ok(tpl[int(k)], v)
+                               for k, v in saved.items())
+                return False
+            if saved is None:
+                return True
+            return np.asarray(tpl).shape == np.asarray(saved).shape
+
+        shapes_match = shapes_ok(env_state, saved_env)
         new_env = graft(env_state, saved_env) if shapes_match else env_state
         return new_train, new_env
 

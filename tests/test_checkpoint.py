@@ -57,3 +57,36 @@ def test_checkpoint_load_with_different_env_batch(tmp_path):
     assert es2.physics.base_pos.shape[0] == 2  # fresh env kept
     for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(ts2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_missing_new_field_restores(tmp_path):
+    """An OLD checkpoint (saved before an EnvState field existed) still
+    restores: checkpoint-present leaves graft by name, the new field keeps
+    its fresh template value.  Pins the shapes_ok by-path comparison
+    (leaf-order zip compared unrelated leaves)."""
+    import orbax.checkpoint as ocp
+    from flax import serialization
+
+    from pointfoot_tpu.utils.registry import task_registry
+
+    env = task_registry.make_env("pointfoot_flat", num_envs=4)
+    runner = task_registry.make_alg_runner(env, "pointfoot_flat",
+                                           log_dir=str(tmp_path))
+    ts, es = runner.init(jax.random.PRNGKey(0))
+    es = es.replace(terrain_level=jnp.full((4,), 5, jnp.int32),
+                    cmd_progress=jnp.full((4,), 9.9))
+    # simulate the old format: env_state as a dict lacking cmd_progress
+    es_dict = serialization.to_state_dict(jax.device_get(es))
+    es_dict.pop("cmd_progress")
+    payload = {"train_state": jax.device_get(ts), "env_state": es_dict,
+               "iteration": 11}
+    path = str(tmp_path / "model_11")
+    ocp.PyTreeCheckpointer().save(path, payload, force=True)
+
+    ts0, es0 = runner.init(jax.random.PRNGKey(1))
+    ts2, es2 = runner.load(path, ts0, es0)
+    assert runner.current_iteration == 11
+    # checkpointed fields grafted...
+    assert (np.asarray(es2.terrain_level) == 5).all()
+    # ...and the post-checkpoint field keeps the fresh value
+    assert (np.asarray(es2.cmd_progress) == 0.0).all()

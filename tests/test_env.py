@@ -296,3 +296,62 @@ def test_all_registered_tasks_step(task):
     assert np.isfinite(np.asarray(out.reward)).all()
     if env.num_privileged_obs:
         assert out.privileged_obs.shape == (2, env.num_privileged_obs)
+
+
+def test_cmd_progress_accumulates_and_resets(flat_env):
+    """cmd_progress integrates velocity along the yaw-rotated commanded
+    direction (gated on |cmd| > 0.05) and clears on reset."""
+    from pointfoot_tpu.ops import quat as quat_ops
+
+    env = flat_env
+    state = env.init_state(jax.random.PRNGKey(3))
+    # pin a pure-forward command (sys-ID hook keeps the resampler off)
+    state = env.update_cmd(state, jnp.broadcast_to(
+        jnp.asarray([0.5, 0.0, 0.0]), (B, 3)))
+    prev = np.asarray(state.cmd_progress)
+    np.testing.assert_array_equal(prev, 0.0)
+    state, _ = jax.jit(env.step)(state, jnp.zeros((B, 6)))
+    yaw = np.asarray(quat_ops.yaw(state.physics.base_quat))
+    v = np.asarray(state.physics.base_lin_vel[:, :2])
+    expect = env.dt * (v[:, 0] * np.cos(yaw) + v[:, 1] * np.sin(yaw))
+    np.testing.assert_allclose(np.asarray(state.cmd_progress), expect,
+                               atol=1e-5)
+    # zero command accrues nothing
+    state0 = env.update_cmd(state, jnp.zeros((B, 3)))
+    state1, _ = jax.jit(env.step)(state0, jnp.zeros((B, 6)))
+    np.testing.assert_allclose(np.asarray(state1.cmd_progress),
+                               np.asarray(state0.cmd_progress), atol=1e-6)
+
+
+def test_terrain_curriculum_credits_arc_walking():
+    """A robot obeying a yaw command walks an arc: little net displacement
+    but full along-command progress.  Demotion must use the progress
+    credit (an arcing perfect tracker is NOT demoted), while a robot that
+    tracked nothing still is."""
+    env = task_registry.make_env("pointfoot_rough", num_envs=4)
+    state = env.init_state(jax.random.PRNGKey(0))
+    lvl = jnp.full((4,), 3, jnp.int32)
+    origin = env.terrain.env_origins[lvl, state.terrain_type]
+    # timeout-length episode at (vx 0.5, wz 1.0): cmd_dist = 0.5*T*0.5
+    T = int(env.max_episode_length)
+    cmds = jnp.broadcast_to(jnp.asarray([0.5, 0.0, 1.0, 0.0]), (4, 4))
+    full_progress = 0.5 * T * env.dt  # tracked the command the whole way
+    state = state.replace(
+        terrain_level=lvl, env_origin=origin,
+        physics=state.physics.replace(
+            # back at the origin: the arc closed (worst case for the old
+            # displacement criterion)
+            base_pos=state.physics.base_pos.at[:, :2].set(origin[:, :2])),
+        commands=cmds,
+        episode_step=jnp.full((4,), T, jnp.int32),
+        cmd_progress=jnp.full((4,), full_progress),
+    )
+    done = jnp.ones(4, bool)
+    new = env._reset_envs(state, done, jax.random.PRNGKey(1))
+    assert (np.asarray(new.terrain_level) >= 3).all(), \
+        f"arc walker demoted: {new.terrain_level}"
+    # same episode with no progress -> demoted
+    state2 = state.replace(cmd_progress=jnp.zeros(4))
+    new2 = env._reset_envs(state2, done, jax.random.PRNGKey(1))
+    assert (np.asarray(new2.terrain_level) == 2).all(), \
+        f"non-tracker not demoted: {new2.terrain_level}"
