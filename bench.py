@@ -12,6 +12,10 @@ one v5e host"); vs_baseline = achieved / real-time.
 BENCH_MODE=mpc instead benchmarks the batched receding-horizon iLQR engine:
 scenario-solves/s at BENCH_NUM_ENVS scenarios (horizon 25, 2 iterations per
 50 Hz tick); vs_baseline = solves/s / (num_scenarios * 50 Hz).
+
+BENCH_MODE=actuator_net benchmarks the actuator-net-in-the-loop dynamics
+(BASELINE configs[3]): the anymal_c_rough task whose per-substep torques
+come from the baked ANYdrive LSTM instead of the PD law.
 """
 
 import json
@@ -117,7 +121,7 @@ def main_mpc_ilqr():
     }))
 
 
-def main():
+def main(task="pointfoot_rough"):
     import jax
 
     # RNG impl for the env's per-step draws (noise, resets, pushes,
@@ -131,7 +135,7 @@ def main():
 
     from pointfoot_tpu.utils.registry import task_registry
 
-    env = task_registry.make_env("pointfoot_rough", num_envs=NUM_ENVS)
+    env = task_registry.make_env(task, num_envs=NUM_ENVS)
     state = env.init_state(jax.random.PRNGKey(0))
 
     def do_steps(state, key):
@@ -176,7 +180,7 @@ def main():
     steps_per_sec = total_env_steps / elapsed
     realtime = NUM_ENVS * 50.0  # 50 Hz policy rate (reference control rate)
     print(json.dumps({
-        "metric": f"env_steps_per_sec@{NUM_ENVS}envs_pointfoot_rough",
+        "metric": f"env_steps_per_sec@{NUM_ENVS}envs_{task}",
         "value": round(steps_per_sec, 1),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / realtime, 3),
@@ -188,5 +192,7 @@ if __name__ == "__main__":
         main_mpc()
     elif MODE == "mpc_ilqr":
         main_mpc_ilqr()
+    elif MODE == "actuator_net":
+        main(task="anymal_c_rough")
     else:
         main()

@@ -313,6 +313,7 @@ class OnPolicyRunner:
             "surrogate_loss": float(m["surrogate_loss"]),
             "kl": float(m["kl"]),
             "lr": float(m["learning_rate"]),
+            "lr_intra": float(m.get("lr_intra", m["learning_rate"])),
             "noise_std": float(m["noise_std"]),
             "terrain_level": float(m["terrain_level"]),
             "nan_quarantined": int(m["num_nan_quarantined"]),
