@@ -140,6 +140,28 @@ def _leg_phase(phase, leg_offset):
     return jnp.mod(phase + leg_offset, 1.0)
 
 
+def heading_command(base_quat, cmd_vxy, heading_des,
+                    gain: float = 0.5, wz_max: float = 1.0):
+    """Heading-mode outer loop over the stepping controller.
+
+    The reference's heading controller (point_foot.py:487-490):
+    wz = clip(gain * wrap_to_pi(heading - yaw), +/-wz_max), recomputed
+    every tick.  Force-couple yaw on a point foot tracks only ~80% of a
+    RATE command (see GaitConfig.duty_turn_gain), but under this
+    error-proportional loop the commanded rate shrinks as the heading
+    converges, so the ENDPOINT is reached exactly — rate-tracking
+    shortfall costs settling time, not accuracy
+    (tests/test_gait.py::test_biped_reaches_commanded_heading).
+
+    Batched: base_quat (B, 4), cmd_vxy (B, 2), heading_des (B,) ->
+    (B, 3) [vx, vy, wz] command for SteppingController.control.
+    """
+    yaw = quat_ops.yaw(base_quat)
+    wz = jnp.clip(gain * quat_ops.wrap_to_pi(heading_des - yaw),
+                  -wz_max, wz_max)
+    return jnp.concatenate([cmd_vxy, wz[..., None]], axis=-1)
+
+
 class SteppingController:
     """Biped walking: SRB stance forces + Raibert swing stepping."""
 

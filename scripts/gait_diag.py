@@ -25,6 +25,7 @@ if os.environ.get("DIAG_PRECISION"):
 import jax.numpy as jnp
 import numpy as np
 
+import pointfoot_tpu.mpc.gait as gait_mod
 from pointfoot_tpu.mpc.gait import GaitConfig, SteppingController
 from pointfoot_tpu.mpc.srb import SRBConfig
 from pointfoot_tpu.ops import quat as quat_ops
@@ -35,13 +36,17 @@ from pointfoot_tpu.physics.model import PhysicsParams, PhysicsState
 FLAT = lambda x, y: jnp.zeros_like(jnp.asarray(x, jnp.float32))
 
 
-def rollout(ctrl, phys, cmd, ticks, substeps=4, sub_dt=0.005):
+def rollout(ctrl, phys, cmd, ticks, substeps=4, sub_dt=0.005,
+            heading=None):
     model, params = ctrl.model, ctrl.params
     gait = ctrl.init(phys.base_pos.shape[0], phys)
 
     def tick(carry, _):
         p, g = carry
-        tau, g = ctrl.control(p, cmd, g)
+        c = cmd
+        if heading is not None:  # heading-mode outer loop (PF:487-490)
+            c = gait_mod.heading_command(p.base_quat, cmd[:, :2], heading)
+        tau, g = ctrl.control(p, c, g)
 
         def sub(pp, _):
             return jax.vmap(lambda s, t: dynamics.step(
@@ -102,6 +107,8 @@ def main():
     ap.add_argument("--step_reach", type=float,
                     default=GaitConfig.step_reach)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--heading", type=float, default=None,
+                    help="heading-mode: commanded yaw [rad] (wz arg ignored)")
     args = ap.parse_args()
 
     model = get_model("pointfoot")
@@ -134,7 +141,10 @@ def main():
             [args.push_vx, args.push_vy, 0.0]))
     cmd = jnp.broadcast_to(jnp.asarray([args.vx, 0.0, args.wz]), (args.b, 3))
 
-    phys, tr = rollout(ctrl, phys, cmd, args.ticks)
+    heading = (None if args.heading is None else
+               jnp.full((args.b,), args.heading))
+    phys, tr = rollout(ctrl, phys, cmd, args.ticks,
+                       heading=heading)
     fallen = (tr["z"] < 0.35) | (tr["tilt"] > 0.8)  # (T, B)
     first_fall = np.where(fallen.any(0), fallen.argmax(0), args.ticks)
     print(f"cmd vx={args.vx}  ticks={args.ticks} (dt 0.02)")
