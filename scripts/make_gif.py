@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--load_run", default=None)
     ap.add_argument("--out", default="docs/walk.gif")
     ap.add_argument("--vx", type=float, default=0.4)
+    ap.add_argument("--wz", type=float, default=0.0)
+    ap.add_argument("--heading", type=float, default=None)
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--every", type=int, default=2,
                     help="render every Nth control tick")
@@ -55,7 +57,7 @@ def main():
         phys = PhysicsState.default(model, np.zeros(model.nj), batch=(1,),
                                     base_height=0.62)
         gait = ctrl.init(1, phys)
-        cmd = jnp.asarray([[args.vx, 0.0, 0.0]])
+        cmd = jnp.asarray([[args.vx, 0.0, args.wz]])
 
         @jax.jit
         def substeps(p, tq):
@@ -65,9 +67,15 @@ def main():
             p, _ = jax.lax.scan(sub, p, None, length=4)
             return p
 
+        from pointfoot_tpu.mpc.gait import heading_command
+
         states = []
         for t in range(args.steps):
-            tq, gait = ctrl.control(phys, cmd, gait)
+            c = cmd
+            if args.heading is not None:
+                c = heading_command(phys.base_quat, cmd[:, :2],
+                                    jnp.full((1,), args.heading))
+            tq, gait = ctrl.control(phys, c, gait)
             phys = substeps(phys, tq)
             if t % args.every == 0:
                 states.append(tree_index(phys, 0))
