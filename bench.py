@@ -16,6 +16,10 @@ scenario-solves/s at BENCH_NUM_ENVS scenarios (horizon 25, 2 iterations per
 BENCH_MODE=actuator_net benchmarks the actuator-net-in-the-loop dynamics
 (BASELINE configs[3]): the anymal_c_rough task whose per-substep torques
 come from the baked ANYdrive LSTM instead of the PD law.
+
+BENCH_MODE=train benchmarks the FULL training iteration (24-step rollout
++ GAE + 5x4 PPO minibatch SGD) — the end-to-end number the
+"Learning to Walk in Minutes" 4096-env regime is about.
 """
 
 import json
@@ -121,6 +125,43 @@ def main_mpc_ilqr():
     }))
 
 
+def main_train():
+    """Full PPO train_iteration throughput at NUM_ENVS (pointfoot_rough)."""
+    import jax
+
+    jax.config.update("jax_default_prng_impl",
+                      os.environ.get("BENCH_RNG", "threefry2x32"))
+    import jax.numpy as jnp
+
+    from pointfoot_tpu.utils.registry import task_registry
+
+    env = task_registry.make_env("pointfoot_rough", num_envs=NUM_ENVS)
+    runner = task_registry.make_alg_runner(env, "pointfoot_rough")
+    ts, es = runner.init(jax.random.PRNGKey(0))
+    state0 = env.init_state(jax.random.PRNGKey(1))
+    st, out = jax.jit(env.step)(
+        state0, jnp.zeros((NUM_ENVS, env.num_actions)))
+    it = jax.jit(runner.train_iteration)
+    key = jax.random.PRNGKey(2)
+    ts, es2, obs, priv, metrics = it(ts, st, out.obs, out.privileged_obs, key)
+    jax.block_until_ready(metrics["kl"])  # compile + warm
+    iters = max(TIMED_ITERS // 2, 5)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, k = jax.random.split(key)
+        ts, es2, obs, priv, metrics = it(ts, es2, obs, priv, k)
+    jax.block_until_ready(metrics["kl"])
+    dt = (time.perf_counter() - t0) / iters
+    steps_per_iter = NUM_ENVS * runner.cfg.runner.num_steps_per_env
+    sps = steps_per_iter / dt
+    print(json.dumps({
+        "metric": f"train_env_steps_per_sec@{NUM_ENVS}envs_pointfoot_rough",
+        "value": round(sps, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / (NUM_ENVS * 50.0), 3),
+    }))
+
+
 def main(task="pointfoot_rough"):
     import jax
 
@@ -194,5 +235,7 @@ if __name__ == "__main__":
         main_mpc_ilqr()
     elif MODE == "actuator_net":
         main(task="anymal_c_rough")
+    elif MODE == "train":
+        main_train()
     else:
         main()
