@@ -116,6 +116,21 @@ def main():
         train_state, env_state = runner.load(path, ts0, es0)
         print(f"resumed from {path} @ iteration {runner.current_iteration}")
 
+    # dump the resolved run config: runs must be reproducible from the log
+    # dir alone (the reference keeps the config in the checkpoint pickle;
+    # here a readable json sits next to metrics.jsonl)
+    os.makedirs(log_dir, exist_ok=True)
+    import dataclasses
+    import json
+
+    with open(os.path.join(log_dir, "run_config.json"), "a") as f:
+        f.write(json.dumps({
+            "argv": sys.argv[1:], "task": args.task,
+            "num_envs": env.num_envs, "iters": iters, "seed": int(seed),
+            "env_cfg": dataclasses.asdict(env.cfg),
+            "train_cfg": dataclasses.asdict(train_cfg),
+        }, default=str) + "\n")
+
     print(f"task={args.task} envs={env.num_envs} iters={iters} "
           f"devices={jax.devices()} log_dir={log_dir}")
     runner.learn(iters, key=jax.random.PRNGKey(seed),

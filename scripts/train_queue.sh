@@ -1,0 +1,40 @@
+#!/usr/bin/env bash
+# Unattended TPU training queue: once the tunnel answers, run the rough
+# training to its target, then fine-tune the flat policy (stability-crutch
+# drift shrinks with budget — docs/ROUND2_NOTES.md "1.8x was a
+# misdiagnosis").  Each stage goes through the stale-metrics watchdog so a
+# tunnel hang mid-stage only costs one resume, and the tunnel probe runs
+# before every stage.
+set -u
+
+probe() {
+  until timeout 180 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((128, 128))
+(x @ x).block_until_ready()
+" > /dev/null 2>&1; do
+    echo "[queue] tunnel wedged $(date -u +%H:%M:%S), retry in 300s"
+    sleep 300
+  done
+  echo "[queue] tunnel answers $(date -u +%H:%M:%S)"
+}
+
+probe
+STALE_S=900 bash scripts/train_watchdog.sh logs/pointfoot_rough/tpu_r2_run2 \
+  60000 --task=pointfoot_rough --num_envs 4096 --log_every 50 \
+  --override rewards.only_positive_rewards=true
+
+probe
+# flat fine-tune: continue the committed artifact with the same config
+# (reward scales stay reference defaults; budget is the lever)
+if [ ! -d logs/pointfoot_flat/tpu_run7_ft/model_12000 ]; then
+  mkdir -p logs/pointfoot_flat/tpu_run7_ft
+  if [ ! -e logs/pointfoot_flat/tpu_run7_ft/model_4500 ]; then
+    cp -r logs/pointfoot_flat/tpu_run7/model_4500 \
+      logs/pointfoot_flat/tpu_run7_ft/model_4500
+  fi
+  # run7 trained with the stock flat config (no overrides) — match it
+  STALE_S=900 bash scripts/train_watchdog.sh logs/pointfoot_flat/tpu_run7_ft \
+    12000 --task=pointfoot_flat --num_envs 4096 --log_every 50
+fi
+echo "[queue] all stages done"
