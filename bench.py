@@ -137,10 +137,9 @@ def main_train():
 
     env = task_registry.make_env("pointfoot_rough", num_envs=NUM_ENVS)
     runner = task_registry.make_alg_runner(env, "pointfoot_rough")
-    ts, es = runner.init(jax.random.PRNGKey(0))
-    state0 = env.init_state(jax.random.PRNGKey(1))
+    ts, es = runner.init(jax.random.PRNGKey(0))  # es IS a fresh env state
     st, out = jax.jit(env.step)(
-        state0, jnp.zeros((NUM_ENVS, env.num_actions)))
+        es, jnp.zeros((NUM_ENVS, env.num_actions)))
     it = jax.jit(runner.train_iteration)
     key = jax.random.PRNGKey(2)
     ts, es2, obs, priv, metrics = it(ts, st, out.obs, out.privileged_obs, key)

@@ -492,17 +492,16 @@ class LeggedEnv:
         # (yaw-rotated body-frame command), integrated per control tick —
         # see EnvState.cmd_progress.  Uses the commands that were ACTIVE
         # during this tick's substeps (pre-resample).
-        yaw = quat_ops.yaw(phys.base_quat)
         cmd_xy = state.commands[:, :2]
         cmd_norm = jnp.linalg.norm(cmd_xy, axis=-1, keepdims=True)
         cmd_dir_b = cmd_xy / jnp.maximum(cmd_norm, 1e-6)
-        cos_y, sin_y = jnp.cos(yaw), jnp.sin(yaw)
-        cmd_dir_w = jnp.stack(
-            [cos_y * cmd_dir_b[:, 0] - sin_y * cmd_dir_b[:, 1],
-             sin_y * cmd_dir_b[:, 0] + cos_y * cmd_dir_b[:, 1]], axis=-1)
+        cmd_dir_w = quat_ops.apply_yaw(
+            phys.base_quat,
+            jnp.concatenate([cmd_dir_b, jnp.zeros_like(cmd_norm)], axis=-1))
         progress = state.cmd_progress + self.dt * jnp.where(
             cmd_norm[:, 0] > 0.05,
-            jnp.sum(phys.base_lin_vel[:, :2] * cmd_dir_w, axis=-1), 0.0)
+            jnp.sum(phys.base_lin_vel[:, :2] * cmd_dir_w[:, :2], axis=-1),
+            0.0)
         # push was consumed by substep 0
         state = state.replace(
             physics=phys, torques=torques, actuator_carry=act_carry,
@@ -771,7 +770,7 @@ class LeggedEnv:
         if self.cfg.commands.heading_command:
             cmds = state.commands
             yaw = quat_ops.yaw(phys.base_quat)
-            wz = jnp.clip(0.5 * quat_ops.wrap_to_pi(cmds[:, 3] - yaw), -1.0, 1.0)
+            wz = quat_ops.heading_wz(cmds[:, 3], yaw)
             cmds = cmds.at[:, 2].set(
                 jnp.where(state.cmd_pinned, cmds[:, 2], wz))
             state = state.replace(commands=cmds)

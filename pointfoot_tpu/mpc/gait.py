@@ -157,8 +157,7 @@ def heading_command(base_quat, cmd_vxy, heading_des,
     (B, 3) [vx, vy, wz] command for SteppingController.control.
     """
     yaw = quat_ops.yaw(base_quat)
-    wz = jnp.clip(gain * quat_ops.wrap_to_pi(heading_des - yaw),
-                  -wz_max, wz_max)
+    wz = quat_ops.heading_wz(heading_des, yaw, gain, wz_max)
     return jnp.concatenate([cmd_vxy, wz[..., None]], axis=-1)
 
 

@@ -134,6 +134,15 @@ def apply_yaw(q: jax.Array, v: jax.Array) -> jax.Array:
     return rotate(yaw_quat(q), v)
 
 
+def heading_wz(heading_des: jax.Array, yaw: jax.Array,
+               gain: float = 0.5, wz_max: float = 1.0) -> jax.Array:
+    """The reference heading controller law (point_foot.py:487-490):
+    wz = clip(gain * wrap_to_pi(heading - yaw), +/-wz_max).  Single home
+    for the formula — used by both the env command layer and the gait-MPC
+    heading mode so the two stacks cannot drift apart."""
+    return jnp.clip(gain * wrap_to_pi(heading_des - yaw), -wz_max, wz_max)
+
+
 def integrate(q: jax.Array, omega_world: jax.Array, dt: float) -> jax.Array:
     """First-order quaternion integration with world-frame angular velocity.
 

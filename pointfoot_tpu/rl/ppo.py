@@ -211,14 +211,15 @@ class PPO:
                 mb_ret = ret_flat[idx]
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss, has_aux=True)(ts.params, mb, mb_adv, mb_ret)
-                ts = self._sgd_step(ts, grads, metrics)
                 # the FINAL lr of an update is a poor progress gauge — the
                 # per-minibatch adaptive rule ping-pongs it (first minibatch
                 # KL is ~0 -> raise; late epochs accumulate ~2x target ->
                 # shrink), so the mean over minibatches is the honest
                 # effective step size (measured: final 1e-5 "floor" while
-                # the intra-update mean sits near 1e-4)
+                # the intra-update mean sits near 1e-4).  Captured BEFORE
+                # _sgd_step: that is the lr this minibatch actually used.
                 metrics = dict(metrics, lr_intra=ts.learning_rate)
+                ts = self._sgd_step(ts, grads, metrics)
                 return ts, metrics
 
             ts, metrics = jax.lax.scan(
@@ -298,8 +299,8 @@ class RecurrentPPO(PPO):
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss_seq, has_aux=True)(
                     ts.params, mb_carry, mb, mb_adv, mb_ret)
-                ts = self._sgd_step(ts, grads, metrics)
                 metrics = dict(metrics, lr_intra=ts.learning_rate)
+                ts = self._sgd_step(ts, grads, metrics)
                 return ts, metrics
 
             ts, metrics = jax.lax.scan(

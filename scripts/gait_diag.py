@@ -163,7 +163,7 @@ def main():
               f"| full mean {v.mean():+.3f} | min {v.min():+.3f} "
               f"| max {v.max():+.3f}")
     # dense trace of env 0 around the first fall
-    e = args.trace_env
+    e = min(args.trace_env, args.b - 1)
     t_end = int(first_fall[e]) + 10
     for t in range(0, min(t_end, args.ticks), 2):
         print(f"  t={t*0.02:5.2f}s ph={tr['phase'][t,e]:.2f} "

@@ -123,7 +123,9 @@ def main():
     import dataclasses
     import json
 
-    with open(os.path.join(log_dir, "run_config.json"), "a") as f:
+    # .jsonl: watchdog relaunches append one line per launch, and the last
+    # line is the config the final weights trained under
+    with open(os.path.join(log_dir, "run_config.jsonl"), "a") as f:
         f.write(json.dumps({
             "argv": sys.argv[1:], "task": args.task,
             "num_envs": env.num_envs, "iters": iters, "seed": int(seed),

@@ -8,11 +8,7 @@
 set -u
 
 probe() {
-  until timeout 180 python -c "
-import jax, jax.numpy as jnp
-x = jnp.ones((128, 128))
-(x @ x).block_until_ready()
-" > /dev/null 2>&1; do
+  until bash "$(dirname "$0")/tpu_probe.sh"; do
     echo "[queue] tunnel wedged $(date -u +%H:%M:%S), retry in 300s"
     sleep 300
   done
@@ -30,6 +26,12 @@ probe
 if [ ! -d logs/pointfoot_flat/tpu_run7_ft/model_12000 ]; then
   mkdir -p logs/pointfoot_flat/tpu_run7_ft
   if [ ! -e logs/pointfoot_flat/tpu_run7_ft/model_4500 ]; then
+    # a missing seed must ABORT the stage: without it the watchdog would
+    # silently train 12k iters from scratch and mislabel it a fine-tune
+    if [ ! -d logs/pointfoot_flat/tpu_run7/model_4500 ]; then
+      echo "[queue] seed checkpoint tpu_run7/model_4500 missing — skipping fine-tune"
+      exit 1
+    fi
     cp -r logs/pointfoot_flat/tpu_run7/model_4500 \
       logs/pointfoot_flat/tpu_run7_ft/model_4500
   fi

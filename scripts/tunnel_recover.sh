@@ -16,11 +16,7 @@ shift 2
 PROBE_S=${PROBE_S:-300}
 
 while true; do
-  if timeout 180 python -c "
-import jax, jax.numpy as jnp
-x = jnp.ones((128, 128))
-(x @ x).block_until_ready()
-" > /dev/null 2>&1; then
+  if bash "$(dirname "$0")/tpu_probe.sh"; then
     echo "[recover] tunnel answers — launching watchdog"
     STALE_S=${STALE_S:-900} exec bash scripts/train_watchdog.sh \
       "$LOG_DIR" "$MAX_ITERS" "$@"
