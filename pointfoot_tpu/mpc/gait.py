@@ -433,7 +433,16 @@ class SteppingController:
                 tau = tau + (1.0 - stance[k]) * tau_sw
                 # reach-down mode: clock-stance but unloaded (late touchdown)
                 # — drive the foot to the ground at its step target; without
-                # this the leg floats torqueless until the next swing window
+                # this the leg floats torqueless until the next swing window.
+                # KNOWN LIMIT (vx-0.8 perturbed trace, seed 1 env 15,
+                # t=0.52-0.92): after a flight event the foot can be 15+ cm
+                # up and this fixed -0.3 m/s descent takes ~0.5 s to regain
+                # support while the robot runs away on one leg.  A
+                # height-proportional descent was measured NOT to reduce
+                # aggregate falls (48-start battery: 15 vs 12.5 at vx 0.8 —
+                # marginal-stability shuffle); the real fix is a
+                # disturbance-triggered step replant (immediate clock reset
+                # + capture-point target), queued for round 3.
                 reach = stance[k] * (1.0 - loaded[k])
                 p_reach = p_tg.at[2].set(ground_z - 0.02)
                 tau_rc = self._swing_torque(
