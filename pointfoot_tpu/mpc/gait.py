@@ -26,7 +26,7 @@ public method) on top of mpc/srb.py:
 Validated closed-loop (tests/test_gait.py): >=6-10 s walking at cmd vx in
 {0.0, 0.4, 0.8} m/s with zero falls on flat ground at the reference's
 50 Hz / 200 Hz two-rate scheme (speed-adaptive cadence); turning at
-wz +/-0.5 with ~80% yaw-rate tracking for vx <= 0.4 via the
+wz +/-0.5 with ~85-87% yaw-rate tracking for vx <= 0.4 via the
 turn-adaptive double-support window (a point contact transmits no
 vertical-axis moment, so yaw authority lives in two-feet force couples
 — see GaitConfig.duty_turn_gain).  Everything is batched (vmap over
