@@ -113,3 +113,24 @@ def test_motion_force_cross_duality():
     lhs = spatial.motion_cross(v, m) @ f
     rhs = -m @ spatial.force_cross(v, f)
     np.testing.assert_allclose(float(lhs), float(rhs), atol=1e-4)
+
+
+def test_heading_wz_law():
+    """heading_wz = clip(gain * wrap_to_pi(err), +/-wz_max) — the single
+    home of the reference heading controller (point_foot.py:487-490),
+    shared by the env command layer and the gait-MPC heading mode."""
+    import jax.numpy as jnp
+
+    from pointfoot_tpu.ops.quat import heading_wz
+
+    # small error: proportional
+    np.testing.assert_allclose(
+        float(heading_wz(jnp.asarray(0.4), jnp.asarray(0.0))), 0.2, atol=1e-6)
+    # large error: clipped to wz_max
+    assert float(heading_wz(jnp.asarray(3.0), jnp.asarray(0.0))) == 1.0
+    # wraps: a 350-degree error is a -10-degree error
+    err = float(heading_wz(jnp.asarray(2 * np.pi - 0.2), jnp.asarray(0.0)))
+    np.testing.assert_allclose(err, -0.1, atol=1e-6)
+    # custom gain/cap
+    assert float(heading_wz(jnp.asarray(1.0), jnp.asarray(0.0),
+                            gain=2.0, wz_max=1.5)) == 1.5
