@@ -26,6 +26,9 @@ def main():
     p.add_argument("--export", action="store_true")
     p.add_argument("--dashboard", default="play_dashboard.png")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--cmd", type=float, nargs=3, default=None,
+                   metavar=("VX", "VY", "WZ"),
+                   help="pin a fixed command instead of the env resampler")
     args = p.parse_args()
     if args.cpu:
         os.environ.setdefault(
@@ -79,6 +82,8 @@ def main():
 
     logger = Logger(env.dt)
     step = jax.jit(env.step)
+    if args.cmd is not None:
+        env_state = env.update_cmd(env_state, jnp.asarray(args.cmd))
     env_state, out = step(env_state, jnp.zeros((env.num_envs,
                                                 env.num_actions)))
     obs = out.obs
