@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--num_envs", type=int, default=16)
     ap.add_argument("--levels", type=int, nargs="*", default=[0, 2, 4])
     ap.add_argument("--vx", type=float, nargs="*", default=[0.0, 0.4, 0.8])
+    ap.add_argument("--wz", type=float, default=0.0,
+                    help="commanded yaw rate for every config")
     ap.add_argument("--secs", type=float, default=10.0)
     args = ap.parse_args()
 
@@ -68,13 +70,14 @@ def main():
                     env.cfg.init_state.pos)
                 state = state.replace(physics=phys.replace(
                     base_pos=new_pos))
-            cmd = jnp.asarray([vx_cmd, 0.0, 0.0])
+            cmd = jnp.asarray([vx_cmd, 0.0, args.wz])
             state = env.update_cmd(state, cmd)
             state, out = step(state, jnp.zeros((args.num_envs,
                                                 env.num_actions)))
             obs = out.obs
             falls = 0
             vels = []
+            wzs = []
             skip = min(50, steps // 4)
             for t in range(steps):
                 state, out = step(state, policy(obs))
@@ -86,11 +89,16 @@ def main():
                     vb = quat_ops.rotate_inverse(
                         state.physics.base_quat, state.physics.base_lin_vel)
                     vels.append(np.asarray(vb[:, 0]))
+                    wb = quat_ops.rotate_inverse(
+                        state.physics.base_quat, state.physics.base_ang_vel)
+                    wzs.append(np.asarray(wb[:, 2]))
             rec = {
                 "level": level, "cmd_vx": vx_cmd,
                 "falls": falls, "envs": args.num_envs,
                 "secs": args.secs,
                 "mean_vx": round(float(np.mean(vels)), 3),
+                "cmd_wz": args.wz,
+                "mean_wz": round(float(np.mean(wzs)), 3),
             }
             results.append(rec)
             print(json.dumps(rec), flush=True)
