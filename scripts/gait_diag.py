@@ -148,6 +148,7 @@ def main():
     fallen = (tr["z"] < 0.35) | (tr["tilt"] > 0.8)  # (T, B)
     first_fall = np.where(fallen.any(0), fallen.argmax(0), args.ticks)
     print(f"cmd vx={args.vx}  ticks={args.ticks} (dt 0.02)")
+    print(f"falls: {int((first_fall < args.ticks).sum())}/{args.b}")
     print(f"time-to-fall per env [ticks]: {first_fall}")
     # yaw progress: achieved heading vs the commanded-integral (unwrapped)
     yaw_uw = np.unwrap(tr["yaw"], axis=0)
