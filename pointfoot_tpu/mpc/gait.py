@@ -23,6 +23,17 @@ public method) on top of mpc/srb.py:
 * stance legs: SRB ground-reaction forces (contact-gated schedule)
   realized via tau = C_j - J^T f.
 
+Terrain-aware mode: pass `height_fn(x, y) -> z` (the physics/contact.py
+callable contract, e.g. TerrainGrid.height_at or any analytic fn) and the
+step-target z, loaded z-proxy, reach-down depth, swing clearance
+(path-max over sampled terrain between liftoff and target) and the SRB
+base-height reference all ride the terrain query.  Validated envelope
+(scripts/gait_diag.py --terrain, 8-env batteries): at vx <= 0.6 — slopes
+to 20% grade, rolling wave/bumps fields to 4-5 cm amplitude, discrete
+steps +/-5 cm (6 cm fails); at vx 0.8 — 5% slopes and 2 cm fields;
+turning (wz 0.5) on a 4 cm wave matches the flat 86% yaw tracking with
+zero falls.  height_fn=None keeps the flat-ground path bit-exact.
+
 Validated closed-loop (tests/test_gait.py): >=6-10 s walking at cmd vx in
 {0.0, 0.4, 0.8} m/s with zero falls on flat ground at the reference's
 50 Hz / 200 Hz two-rate scheme (speed-adaptive cadence); turning at
@@ -181,7 +192,8 @@ class SteppingController:
 
     def __init__(self, model: RobotModel, params_single: PhysicsParams,
                  feet_idx, default_qpos, srb_cfg: SRBConfig = WALK_SRB,
-                 gait_cfg: GaitConfig = GaitConfig(), dt: float = 0.02):
+                 gait_cfg: GaitConfig = GaitConfig(), dt: float = 0.02,
+                 height_fn=None):
         self.model = model
         self.params = params_single
         self.feet_idx = tuple(feet_idx)
@@ -190,6 +202,13 @@ class SteppingController:
         self.srb = srb_cfg
         self.gait = gait_cfg
         self.dt = dt
+        # terrain-aware mode: height_fn(x, y) -> z (same callable contract
+        # as physics/contact.py) switches step-target z, the loaded
+        # z-proxy, reach-down depth, and the SRB height reference from the
+        # flat-ground constants to terrain queries.  None keeps the
+        # flat-ground behavior bit-exact (marginal-stability caveat: the
+        # tuned flat gait must not be perturbed by the terrain plumbing).
+        self.height_fn = height_fn
         # leg phase offsets: alternating for a biped (0, 0.5, ...)
         self.offsets = jnp.asarray(
             [i / self.nf for i in range(self.nf)], jnp.float32)
@@ -288,8 +307,13 @@ class SteppingController:
             # freefall windows when a late-landing swing foot is still in
             # the air as the clock flips its sibling to swing)
             fz_meas = p.contact_force[jnp.asarray(self.feet_idx), 2]
+            if self.height_fn is None:
+                foot_clear = foot_pos[:, 2]
+            else:  # height above the LOCAL terrain, not absolute z
+                foot_clear = foot_pos[:, 2] - self.height_fn(
+                    foot_pos[:, 0], foot_pos[:, 1])
             loaded = ((fz_meas > 1.0)
-                      | (foot_pos[:, 2] < 0.035)).astype(jnp.float32)
+                      | (foot_clear < 0.035)).astype(jnp.float32)
             other_loaded = jnp.sum(loaded) - loaded
             stance = jnp.maximum(
                 stance, (other_loaded < 0.5).astype(jnp.float32))
@@ -352,6 +376,12 @@ class SteppingController:
             new_gz = ground_z
             anchor = (com[None, :] + bias).at[:, 2].set(ground_z)
             tgt = anchor + offset[None, :]
+            if self.height_fn is not None:
+                # step-target z from the terrain under the target xy (the
+                # latched ground_z is only the height under the CURRENT
+                # support, wrong across slopes/steps)
+                tgt = tgt.at[:, 2].set(
+                    self.height_fn(tgt[:, 0], tgt[:, 1]))
 
             # liftoff pose latches at the stance->swing edge; the step TARGET
             # is recomputed EVERY tick from the live velocity (classic
@@ -368,8 +398,15 @@ class SteppingController:
             eligible = stance * loaded if g.contact_gate else stance
             ct = jnp.where(jnp.sum(eligible) > 0, eligible,
                            jnp.ones_like(stance))
+            # terrain-following base height: reference z rides the mean
+            # terrain height under the feet (MIT convex-MPC convention)
+            href = None
+            if self.height_fn is not None:
+                href = (jnp.mean(self.height_fn(
+                    foot_pos[:, 0], foot_pos[:, 1]))
+                    + self.srb.height_target)
             prob = srb_problem(self.model, p, self.params, foot_pos, ct, cmd,
-                               self.srb, kin=kin)
+                               self.srb, kin=kin, height_ref=href)
             F, c_tot, L, Xd, Ud, XTd, x0, f_ff = prob
             T = self.srb.horizon
             n, m = F.shape[0], L.shape[1]
@@ -428,6 +465,20 @@ class SteppingController:
                 sz = sxy
                 z_prof = (g.swing_height * jnp.sin(jnp.pi * sz)
                           - 0.02 * jnp.clip((s_ph - 0.8) / 0.2, 0.0, 1.0))
+                if self.height_fn is not None:
+                    # obstacle clearance on terrain: the lerped z_base can
+                    # sit below the ground along the swing path (step
+                    # risers, bump crests between the endpoints) — sample
+                    # the terrain along the xy path and lift the apex so
+                    # the profile clears the highest point + swing_height
+                    ss = jnp.asarray([0.25, 0.5, 0.75])
+                    xy = (p_lo[None, :2]
+                          + (p_tg[:2] - p_lo[:2])[None, :] * ss[:, None])
+                    h_path = jnp.max(self.height_fn(xy[:, 0], xy[:, 1]))
+                    z_hi = jnp.maximum(jnp.maximum(p_lo[2], p_tg[2]), h_path)
+                    mid = 0.5 * (p_lo[2] + p_tg[2])
+                    z_prof = z_prof + (jnp.maximum(z_hi - mid, 0.0)
+                                       * jnp.sin(jnp.pi * sz))
                 p_des = p_des.at[2].set(z_base + z_prof)
                 v_des = (p_tg - p_lo) / (0.8 * T_sw) * (sxy < 1.0)
                 # z feedforward = d(z_prof)/dt so the foot is actively
@@ -450,7 +501,9 @@ class SteppingController:
                 # disturbance-triggered step replant (immediate clock reset
                 # + capture-point target), queued for round 3.
                 reach = stance[k] * (1.0 - loaded[k])
-                p_reach = p_tg.at[2].set(ground_z - 0.02)
+                reach_z = (ground_z if self.height_fn is None
+                           else p_tg[2]) - 0.02
+                p_reach = p_tg.at[2].set(reach_z)
                 tau_rc = self._swing_torque(
                     p, kin, cidx, p_reach, jnp.asarray([0.0, 0.0, -0.3]))
                 tau = tau + reach * tau_rc

@@ -87,9 +87,14 @@ def _srb_matrices(mass, inertia_w_inv, foot_rel, contact, cfg: SRBConfig):
 
 def srb_problem(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
                 foot_pos: jax.Array, contact: jax.Array, command: jax.Array,
-                cfg: SRBConfig, kin=None):
+                cfg: SRBConfig, kin=None, height_ref=None):
     """Assemble the per-scenario LQR problem (F, c_tot, L, Xd, Ud, XTd,
-    x0, f_ff) — shared by the XLA and Pallas solvers."""
+    x0, f_ff) — shared by the XLA and Pallas solvers.
+
+    height_ref: optional world-z base-height reference (terrain-following
+    callers pass local-ground + cfg.height_target); None keeps the
+    flat-ground absolute cfg.height_target.
+    """
     mass = jnp.sum(model.mass) + params.added_mass
     # world-frame inertia about the CoM (frozen)
     if kin is None:
@@ -116,8 +121,9 @@ def srb_problem(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
     cmd_world = quat_ops.rotate(
         quat_ops.from_axis_angle(jnp.asarray([0.0, 0.0, 1.0]), yaw),
         jnp.asarray([command[0], command[1], 0.0]))
+    h_ref = cfg.height_target if height_ref is None else height_ref
     x_ref = jnp.concatenate([
-        phys.base_pos.at[2].set(cfg.height_target) * jnp.asarray([0.0, 0.0, 1.0]),
+        phys.base_pos.at[2].set(h_ref) * jnp.asarray([0.0, 0.0, 1.0]),
         jnp.zeros(3).at[2].set(0.0),
         cmd_world,
         jnp.zeros(3).at[2].set(command[2]),

@@ -33,11 +33,11 @@ from pointfoot_tpu.physics import dynamics
 from pointfoot_tpu.physics.assets import get_model
 from pointfoot_tpu.physics.model import PhysicsParams, PhysicsState
 
-FLAT = lambda x, y: jnp.zeros_like(jnp.asarray(x, jnp.float32))
+from pointfoot_tpu.terrain.analytic import FLAT, make_terrain  # noqa: E402
 
 
 def rollout(ctrl, phys, cmd, ticks, substeps=4, sub_dt=0.005,
-            heading=None):
+            heading=None, height_fn=FLAT):
     model, params = ctrl.model, ctrl.params
     gait = ctrl.init(phys.base_pos.shape[0], phys)
 
@@ -50,7 +50,7 @@ def rollout(ctrl, phys, cmd, ticks, substeps=4, sub_dt=0.005,
 
         def sub(pp, _):
             return jax.vmap(lambda s, t: dynamics.step(
-                model, params, s, t, FLAT, sub_dt))(pp, tau), ()
+                model, params, s, t, height_fn, sub_dt))(pp, tau), ()
 
         p, _ = jax.lax.scan(sub, p, None, length=substeps)
         grav_b = jax.vmap(lambda q: quat_ops.rotate_inverse(
@@ -69,7 +69,7 @@ def rollout(ctrl, phys, cmd, ticks, substeps=4, sub_dt=0.005,
                    roll=grav_b[:, 1], pitch=-grav_b[:, 0],
                    wz=p.base_ang_vel[:, 2], yaw=yaw,
                    vx=vx_h, vy=vy_h,
-                   x=p.base_pos[:, 0], phase=g.phase,
+                   x=p.base_pos[:, 0], y=p.base_pos[:, 1], phase=g.phase,
                    fz=fz, foot_y=foot_pos[..., 1], foot_z=foot_pos[..., 2])
         return (p, g), out
 
@@ -109,6 +109,9 @@ def main():
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--heading", type=float, default=None,
                     help="heading-mode: commanded yaw [rad] (wz arg ignored)")
+    ap.add_argument("--terrain", type=str, default="flat",
+                    help="kind:amp — flat | slope:0.1 | wave:0.04 | "
+                         "bumps:0.03 | step:0.08")
     args = ap.parse_args()
 
     model = get_model("pointfoot")
@@ -122,10 +125,12 @@ def main():
                       duty_turn_gain=args.duty_turn,
                       period_err_gain=args.err_gain,
                       step_reach=args.step_reach)
+    hfn = make_terrain(args.terrain)
     ctrl = SteppingController(
         model, params, feet, np.zeros(6),
         srb_cfg=SRBConfig(w_omega=args.w_omega, w_force_tangent=args.w_tan),
-        gait_cfg=gcfg)
+        gait_cfg=gcfg,
+        height_fn=None if args.terrain in ("", "flat") else hfn)
     phys = PhysicsState.default(model, np.zeros(6), batch=(args.b,),
                                 base_height=0.62)
     if args.perturb > 0:
@@ -144,8 +149,9 @@ def main():
     heading = (None if args.heading is None else
                jnp.full((args.b,), args.heading))
     phys, tr = rollout(ctrl, phys, cmd, args.ticks,
-                       heading=heading)
-    fallen = (tr["z"] < 0.35) | (tr["tilt"] > 0.8)  # (T, B)
+                       heading=heading, height_fn=hfn)
+    relz = tr["z"] - np.asarray(hfn(tr["x"], tr["y"]))  # height above ground
+    fallen = (relz < 0.35) | (tr["tilt"] > 0.8)  # (T, B)
     first_fall = np.where(fallen.any(0), fallen.argmax(0), args.ticks)
     print(f"cmd vx={args.vx}  ticks={args.ticks} (dt 0.02)")
     print(f"falls: {int((first_fall < args.ticks).sum())}/{args.b}")

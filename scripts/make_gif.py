@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--every", type=int, default=2,
                     help="render every Nth control tick")
+    ap.add_argument("--terrain", type=str, default="flat",
+                    help="gait mode: kind:amp analytic terrain "
+                         "(terrain/analytic.py), e.g. wave:0.04")
     args = ap.parse_args()
 
     from pointfoot_tpu.utils.visualizer import render_rollout
@@ -49,11 +52,16 @@ def main():
         from pointfoot_tpu.physics.assets import get_model
         from pointfoot_tpu.physics.model import PhysicsParams, PhysicsState
 
-        FLAT = lambda x, y: jnp.zeros_like(jnp.asarray(x, jnp.float32))
+        from pointfoot_tpu.terrain.analytic import (
+            AnalyticTerrain, make_terrain)
+
+        hfn = make_terrain(args.terrain)
+        on_terrain = args.terrain not in ("", "flat")
         model = get_model("pointfoot")
         params = PhysicsParams.nominal(model)
         feet = model.collision_indices("foot")
-        ctrl = SteppingController(model, params, feet, np.zeros(model.nj))
+        ctrl = SteppingController(model, params, feet, np.zeros(model.nj),
+                                  height_fn=hfn if on_terrain else None)
         phys = PhysicsState.default(model, np.zeros(model.nj), batch=(1,),
                                     base_height=0.62)
         gait = ctrl.init(1, phys)
@@ -63,7 +71,7 @@ def main():
         def substeps(p, tq):
             def sub(pp, _):
                 return jax.vmap(lambda s, u: dynamics.step(
-                    model, params, s, u, FLAT, 0.005))(pp, tq), ()
+                    model, params, s, u, hfn, 0.005))(pp, tq), ()
             p, _ = jax.lax.scan(sub, p, None, length=4)
             return p
 
@@ -79,8 +87,9 @@ def main():
             phys = substeps(phys, tq)
             if t % args.every == 0:
                 states.append(tree_index(phys, 0))
-        out = render_rollout(model, states, params, args.out,
-                             fps=25 // args.every)
+        out = render_rollout(
+            model, states, params, args.out, fps=25 // args.every,
+            terrain=AnalyticTerrain(hfn) if on_terrain else None)
         print(f"wrote {out} ({len(states)} frames)")
         return
 
