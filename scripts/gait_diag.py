@@ -111,7 +111,9 @@ def main():
                     help="heading-mode: commanded yaw [rad] (wz arg ignored)")
     ap.add_argument("--terrain", type=str, default="flat",
                     help="kind:amp — flat | slope:0.1 | wave:0.04 | "
-                         "bumps:0.03 | step:0.08")
+                         "bumps:0.03 | step:0.08 | grid:LEVEL (the real "
+                         "curriculum TerrainGrid row; env b spawns on "
+                         "type column b)")
     args = ap.parse_args()
 
     model = get_model("pointfoot")
@@ -125,7 +127,21 @@ def main():
                       duty_turn_gain=args.duty_turn,
                       period_err_gain=args.err_gain,
                       step_reach=args.step_reach)
-    hfn = make_terrain(args.terrain)
+    spawn_xyz = None
+    if args.terrain.startswith("grid"):
+        # the real curriculum TerrainGrid (pointfoot_rough dims): walk one
+        # full difficulty row, env b on type column b
+        from pointfoot_tpu.terrain.grid import TerrainCfg, build_terrain
+
+        level = int(args.terrain.partition(":")[2] or 0)
+        grid = build_terrain(TerrainCfg(), seed=args.seed)
+        hfn = grid.height_at
+        cols = np.arange(args.b) % grid.num_types
+        spawn_xyz = np.asarray(grid.env_origins)[
+            min(level, grid.num_levels - 1), cols]  # (b, 3)
+        print(f"terrain grid row {level}: type columns {cols.tolist()}")
+    else:
+        hfn = make_terrain(args.terrain)
     ctrl = SteppingController(
         model, params, feet, np.zeros(6),
         srb_cfg=SRBConfig(w_omega=args.w_omega, w_force_tangent=args.w_tan),
@@ -133,6 +149,9 @@ def main():
         height_fn=None if args.terrain in ("", "flat") else hfn)
     phys = PhysicsState.default(model, np.zeros(6), batch=(args.b,),
                                 base_height=0.62)
+    if spawn_xyz is not None:
+        off = jnp.asarray(spawn_xyz, jnp.float32)
+        phys = phys.replace(base_pos=phys.base_pos + off)
     if args.perturb > 0:
         key = jax.random.PRNGKey(args.seed)
         kv, kw = jax.random.split(key)

@@ -185,6 +185,10 @@ def test_biped_walks_on_terrain():
         assert relz.min() > 0.40, f"fell on {name}: min rel z {relz.min()}"
         # real forward progress (0.4 m/s cmd, slew-limited start)
         assert xs[-1].min() > 1.2, f"no progress on {name}: x {xs[-1]}"
+
+
+@pytest.mark.slow
+def test_biped_survives_perturbed_starts():
     """Perturbed-start robustness (round-3 queue #3): with the latched
     ground estimate (flight recovery) and the commanded-velocity Raibert
     neutral, at most 2 of 32 perturbed starts (2 seeds x 16 envs,
@@ -227,6 +231,54 @@ def test_biped_walks_on_terrain():
         (phys, gait), zs = jax.lax.scan(tick, (phys, gait), None, length=250)
         falls += int((np.asarray(zs).min(axis=0) < 0.40).sum())
     assert falls <= 2, f"{falls}/32 perturbed starts fell"
+
+
+@pytest.mark.slow
+def test_biped_walks_curriculum_terrain_row0():
+    """Gait-MPC on the REAL curriculum TerrainGrid (the terrain the RL
+    rough policy trains on), difficulty row 0: smooth-slope, 5 cm-stairs
+    (up and down) and discrete-obstacle columns walk at vx 0.4.  The
+    rough-slope columns (+/-5 cm noise at 0.2 m wavelength) are the
+    documented envelope edge and stairs >= level 2 (9 cm steps) are out
+    of envelope — see scripts/gait_diag.py --terrain grid:LEVEL and
+    docs/ROUND2_NOTES.md."""
+    from pointfoot_tpu.physics import dynamics
+    from pointfoot_tpu.terrain.grid import TerrainCfg, build_terrain
+
+    model = get_model("pointfoot")
+    params = PhysicsParams.nominal(model)
+    feet = model.collision_indices("foot")
+    grid = build_terrain(TerrainCfg(), seed=0)
+    hfn = grid.height_at
+    # one env per walkable terrain family at level 0 (cols: smooth slope
+    # x2, stairs up x2, stairs down, discrete obstacles x2)
+    cols = np.asarray([0, 1, 4, 8, 12, 16, 18])
+    B = len(cols)
+    ctrl = SteppingController(model, params, feet, np.zeros(6),
+                              height_fn=hfn)
+    phys = PhysicsState.default(model, np.zeros(6), batch=(B,),
+                                base_height=0.62)
+    off = jnp.asarray(np.asarray(grid.env_origins)[0, cols], jnp.float32)
+    phys = phys.replace(base_pos=phys.base_pos + off)
+    gait = ctrl.init(B, phys)
+    cmd = jnp.broadcast_to(jnp.asarray([0.4, 0.0, 0.0]), (B, 3))
+
+    def tick(carry, _):
+        p, g = carry
+        tau, g = ctrl.control(p, cmd, g)
+
+        def sub(pp, _):
+            return jax.vmap(lambda s, t: dynamics.step(
+                model, params, s, t, hfn, 0.005))(pp, tau), ()
+
+        p, _ = jax.lax.scan(sub, p, None, length=4)
+        relz = p.base_pos[:, 2] - hfn(p.base_pos[:, 0], p.base_pos[:, 1])
+        return (p, g), relz
+
+    (phys, gait), relz = jax.lax.scan(tick, (phys, gait), None, length=220)
+    fell = np.asarray(relz).min(axis=0) < 0.40
+    # marginal-stability caveat: allow one marginal env, not a pattern
+    assert fell.sum() <= 1, f"fell on cols {cols[fell]}"
 
 
 @pytest.mark.slow
