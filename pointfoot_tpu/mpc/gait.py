@@ -142,6 +142,22 @@ class GaitConfig:
     # vx=0 and 10% WORSE yaw progress at vx=0.4 (the rotated command
     # direction fights the velocity tracking mid-arc), so default off
     yaw_anticipate: float = 0.0
+    # footstep anchor frame: "com" (CoM +/- y_off in the yaw frame —
+    # capture-point placement, the right choice for a point-foot biped
+    # whose hips roll WITH a lateral fall) or "hip" (classic Raibert hip
+    # projection — the standard for quadrupeds, whose 2+ foot support
+    # makes hip-roll feedback benign and whose front/rear legs must NOT
+    # all converge on the CoM)
+    anchor: str = "com"
+    # contact schedule over the SRB horizon (Di Carlo 2018 convex-MPC
+    # formulation): gate the force columns per horizon step from the gait
+    # clock's FUTURE stance masks, with swing feet planned at their step
+    # targets.  Required for a quadruped trot — roll about the current
+    # diagonal support pair is uncontrollable under a frozen-contact
+    # horizon, so the planner must see the next diagonal to regulate it.
+    # Default off: the biped was tuned on the frozen-contact problem
+    # (marginal-stability caveat — do not perturb it silently)
+    horizon_schedule: bool = False
 
 
 class GaitState(NamedTuple):
@@ -193,7 +209,7 @@ class SteppingController:
     def __init__(self, model: RobotModel, params_single: PhysicsParams,
                  feet_idx, default_qpos, srb_cfg: SRBConfig = WALK_SRB,
                  gait_cfg: GaitConfig = GaitConfig(), dt: float = 0.02,
-                 height_fn=None):
+                 height_fn=None, offsets=None):
         self.model = model
         self.params = params_single
         self.feet_idx = tuple(feet_idx)
@@ -209,13 +225,26 @@ class SteppingController:
         # flat-ground behavior bit-exact (marginal-stability caveat: the
         # tuned flat gait must not be perturbed by the terrain plumbing).
         self.height_fn = height_fn
-        # leg phase offsets: alternating for a biped (0, 0.5, ...)
-        self.offsets = jnp.asarray(
-            [i / self.nf for i in range(self.nf)], jnp.float32)
+        # leg phase offsets: alternating for a biped (0, 0.5); pass
+        # explicit offsets for other gaits, e.g. a quadruped trot pairs
+        # diagonal legs ((0, 0.5, 0.5, 0) in FR/FL/RR/RL order)
+        self.offsets = (jnp.asarray(offsets, jnp.float32)
+                        if offsets is not None else jnp.asarray(
+                            [i / self.nf for i in range(self.nf)],
+                            jnp.float32))
         # hip anchor in base frame per foot: joint anchor of the leg's first
         # joint (abad) projected later
         self._hip_joint = tuple(
             _foot_ancestors(model, c)[0] for c in self.feet_idx)
+        # neutral stance offset per leg (hip anchor -> default-pose foot,
+        # base frame xy): in "hip" anchor mode steps anchor at
+        # hip + R_yaw @ neutral, NOT at the hip joint itself — the ab/ad
+        # link puts the natural foot ~8 cm outboard of the A1's hip joint,
+        # and anchoring feet at the joint drives them under the trunk
+        neutral = PhysicsState.default(model, self.default_qpos, batch=(),
+                                       base_height=1.0)
+        fp0, hips0, _ = self._foot_positions(neutral)
+        self._neutral_off = (fp0 - hips0) * jnp.asarray([1.0, 1.0, 0.0])
 
     def init(self, batch: int, phys: PhysicsState) -> GaitState:
         fp = jax.vmap(lambda p: self._foot_positions(p)[0])(phys)
@@ -358,12 +387,22 @@ class SteppingController:
                 1.0, g.step_reach / jnp.maximum(norm, 1e-6))
             com = (jnp.sum(self.model.mass[:, None] * kin.com_w, axis=0)
                    / jnp.sum(self.model.mass))
-            # per-leg lateral stance bias, signed by the leg's hip side
-            side = jnp.sign(jax.vmap(
-                lambda h: quat_ops.rotate_inverse(q_yaw, h - p.base_pos)[1]
-            )(hips))
-            bias = jax.vmap(lambda s: quat_ops.rotate(
-                q_yaw, jnp.asarray([0.0, 1.0, 0.0]) * (s * g.y_off)))(side)
+            if g.anchor == "hip":
+                # classic Raibert: each leg anchors at its own hip
+                # projection plus the leg's neutral stance offset in the
+                # yaw frame (quadrupeds; see GaitConfig.anchor and
+                # _neutral_off)
+                anchor_xy = hips + jax.vmap(
+                    lambda o: quat_ops.rotate(q_yaw, o))(self._neutral_off)
+            else:
+                # per-leg lateral stance bias, signed by the leg's hip side
+                side = jnp.sign(jax.vmap(
+                    lambda h: quat_ops.rotate_inverse(
+                        q_yaw, h - p.base_pos)[1])(hips))
+                bias = jax.vmap(lambda s: quat_ops.rotate(
+                    q_yaw, jnp.asarray([0.0, 1.0, 0.0]) * (s * g.y_off))
+                )(side)
+                anchor_xy = com[None, :] + bias
             # ground estimate from the LOADED feet (an airborne foot's own
             # z would feed back into its target and levitate it).  With NO
             # foot loaded (flight after a touchdown bounce) keep the LAST
@@ -374,7 +413,7 @@ class SteppingController:
             gz = jnp.min(jnp.where(loaded > 0.5, foot_pos[:, 2], 1e9))
             ground_z = jnp.where(gz > 1e8, gz_prev, gz)
             new_gz = ground_z
-            anchor = (com[None, :] + bias).at[:, 2].set(ground_z)
+            anchor = anchor_xy.at[:, 2].set(ground_z)
             tgt = anchor + offset[None, :]
             if self.height_fn is not None:
                 # step-target z from the terrain under the target xy (the
@@ -405,20 +444,52 @@ class SteppingController:
                 href = (jnp.mean(self.height_fn(
                     foot_pos[:, 0], foot_pos[:, 1]))
                     + self.srb.height_target)
-            prob = srb_problem(self.model, p, self.params, foot_pos, ct, cmd,
-                               self.srb, kin=kin, height_ref=href)
-            F, c_tot, L, Xd, Ud, XTd, x0, f_ff = prob
             T = self.srb.horizon
-            n, m = F.shape[0], L.shape[1]
-            U = jnp.diag(Ud)
-            Ps, ps = riccati.sequential_lqr_value(
-                jnp.broadcast_to(F, (T, n, n)),
-                jnp.broadcast_to(c_tot, (T, n)),
-                jnp.broadcast_to(L, (T, n, m)),
-                jnp.broadcast_to(jnp.diag(Xd), (T, n, n)),
-                jnp.broadcast_to(U, (T, m, m)), jnp.diag(XTd))
-            K, d = riccati.lqr_gains_from_value(F, c_tot, L, U, Ps[1], ps[1])
-            f0 = f_ff + (-K @ x0 - d)
+            if g.horizon_schedule:
+                # future stance gates from the gait clock; step 0 keeps the
+                # measured-load gating (touchdown robustness), and any
+                # support-free step falls back to all-stance
+                tt = jnp.arange(T)
+                ph_t = jnp.mod(
+                    phase + (tt[:, None] * self.srb.dt) / period
+                    + self.offsets[None, :], 1.0)
+                ct_seq = (ph_t < duty).astype(jnp.float32).at[0].set(ct)
+                ct_seq = jnp.where(
+                    jnp.sum(ct_seq, 1, keepdims=True) > 0, ct_seq,
+                    jnp.ones_like(ct_seq))
+                # swing feet enter the plan at their predicted touchdown
+                fp_sched = jnp.where(
+                    stance[:, None] > 0.5, foot_pos, new_target)
+                from pointfoot_tpu.mpc.srb import srb_problem_sched
+
+                F, c_seq, L_seq, Xd, Ud, XTd, x0, f_ff_seq = \
+                    srb_problem_sched(self.model, p, self.params, fp_sched,
+                                      ct_seq, cmd, self.srb, kin=kin,
+                                      height_ref=href)
+                n, m = F.shape[0], L_seq.shape[2]
+                U = jnp.diag(Ud)
+                Ps, ps = riccati.sequential_lqr_value(
+                    jnp.broadcast_to(F, (T, n, n)), c_seq, L_seq,
+                    jnp.broadcast_to(jnp.diag(Xd), (T, n, n)),
+                    jnp.broadcast_to(U, (T, m, m)), jnp.diag(XTd))
+                K, d = riccati.lqr_gains_from_value(
+                    F, c_seq[0], L_seq[0], U, Ps[1], ps[1])
+                f0 = f_ff_seq[0] + (-K @ x0 - d)
+            else:
+                prob = srb_problem(self.model, p, self.params, foot_pos, ct,
+                                   cmd, self.srb, kin=kin, height_ref=href)
+                F, c_tot, L, Xd, Ud, XTd, x0, f_ff = prob
+                n, m = F.shape[0], L.shape[1]
+                U = jnp.diag(Ud)
+                Ps, ps = riccati.sequential_lqr_value(
+                    jnp.broadcast_to(F, (T, n, n)),
+                    jnp.broadcast_to(c_tot, (T, n)),
+                    jnp.broadcast_to(L, (T, n, m)),
+                    jnp.broadcast_to(jnp.diag(Xd), (T, n, n)),
+                    jnp.broadcast_to(U, (T, m, m)), jnp.diag(XTd))
+                K, d = riccati.lqr_gains_from_value(
+                    F, c_tot, L, U, Ps[1], ps[1])
+                f0 = f_ff + (-K @ x0 - d)
             f0 = _project_cone(f0.reshape(self.nf, 3)[None], self.srb)[0]
 
             # stance torques: bias comp + J^T f + damping

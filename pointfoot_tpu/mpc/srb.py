@@ -148,14 +148,21 @@ def srb_problem(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
         phys.base_ang_vel,
     ]) - x_ref
 
-    # gravity feedforward: MOMENT-BALANCED static force distribution.
-    # A uniform weight split leaves a residual pitch/roll moment whenever
-    # the feet are not directly under the CoM; the LQR then discovers that
-    # REDUCING normal force reduces the tipping moment (the SRB model does
-    # not know that losing contact means falling) and plans itself to the
-    # ground.  Solve min ||f|| s.t. sum f = m g, sum r x f = 0 instead.
+    f_ff = _static_ff(foot_rel, contact, mass)
+    c_tot = c + L @ f_ff  # drift with feedforward applied (now ~zero)
+    return F, c_tot, L, Xd, Ud, 5.0 * Xd, x0, f_ff
+
+
+def _static_ff(foot_rel, contact, mass):
+    """Gravity feedforward: MOMENT-BALANCED static force distribution.
+
+    A uniform weight split leaves a residual pitch/roll moment whenever
+    the feet are not directly under the CoM; the LQR then discovers that
+    REDUCING normal force reduces the tipping moment (the SRB model does
+    not know that losing contact means falling) and plans itself to the
+    ground.  Solve min ||f|| s.t. sum f = m g, sum r x f = 0 instead.
+    """
     nf = foot_rel.shape[0]
-    mdim = 3 * nf
     A_rows = []
     for i in range(nf):
         blk = jnp.concatenate(
@@ -168,9 +175,80 @@ def srb_problem(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
     AAt = A_stat @ A_stat.T + 1e-6 * jnp.eye(6)
     from pointfoot_tpu.ops import linalg as _lo
 
-    f_ff = A_stat.T @ _lo.chol_solve(AAt, b_stat)
-    c_tot = c + L @ f_ff  # drift with feedforward applied (now ~zero)
-    return F, c_tot, L, Xd, Ud, 5.0 * Xd, x0, f_ff
+    return A_stat.T @ _lo.chol_solve(AAt, b_stat)
+
+
+def srb_problem_sched(model: RobotModel, phys: PhysicsState,
+                      params: PhysicsParams, foot_pos: jax.Array,
+                      contact_seq: jax.Array, command: jax.Array,
+                      cfg: SRBConfig, kin=None, height_ref=None):
+    """srb_problem with a CONTACT SCHEDULE over the horizon.
+
+    The frozen-contact problem makes roll about a two-point support line
+    uncontrollable for the whole lookahead — fatal for a quadruped trot,
+    whose diagonal stance pairs alternate faster than the horizon.  The
+    production convex-MPC formulation (Di Carlo 2018, MIT Cheetah 3 —
+    public method) gates the force columns per STEP from the gait clock's
+    future stance masks, so the planner corrects roll using the NEXT
+    diagonal.  Swing feet should be passed at their predicted touchdown
+    (step target), not their current airborne position.
+
+    contact_seq: (T, nf) per-horizon-step stance gates.
+    Returns (F, c_seq (T,n), L_seq (T,n,m), Xd, Ud, XTd, x0, f_ff_seq
+    (T,m)).
+    """
+    mass = jnp.sum(model.mass) + params.added_mass
+    if kin is None:
+        kin = dynamics.forward_kinematics(model, phys, params)
+    com = jnp.sum(model.mass[:, None] * kin.com_w, axis=0) / jnp.sum(model.mass)
+    I_w = jnp.zeros((3, 3))
+    for b in range(model.nb):
+        d = kin.com_w[b] - com
+        I_w = I_w + kin.inertia_w[b] + model.mass[b] * (
+            jnp.dot(d, d) * jnp.eye(3) - jnp.outer(d, d))
+    from pointfoot_tpu.ops import linalg as linalg_ops
+
+    I_inv = linalg_ops.inv3(I_w + 1e-6 * jnp.eye(3))
+    foot_rel = foot_pos - com
+    n = 12
+    c = jnp.zeros(n).at[8].add(-9.81 * cfg.dt)
+
+    def per_step(ct):
+        F, L = _srb_matrices(mass, I_inv, foot_rel, ct, cfg)
+        f_ff = _static_ff(foot_rel, ct, mass)
+        return F, L, f_ff, c + L @ f_ff
+
+    F_seq, L_seq, f_ff_seq, c_seq = jax.vmap(per_step)(contact_seq)
+    F = F_seq[0]  # time-invariant (contact only enters L)
+
+    yaw = quat_ops.yaw(phys.base_quat)
+    cmd_world = quat_ops.rotate(
+        quat_ops.from_axis_angle(jnp.asarray([0.0, 0.0, 1.0]), yaw),
+        jnp.asarray([command[0], command[1], 0.0]))
+    h_ref = cfg.height_target if height_ref is None else height_ref
+    x_ref = jnp.concatenate([
+        phys.base_pos.at[2].set(h_ref) * jnp.asarray([0.0, 0.0, 1.0]),
+        jnp.zeros(3),
+        cmd_world,
+        jnp.zeros(3).at[2].set(command[2]),
+    ])
+    Xd = jnp.asarray(
+        [cfg.w_pos, cfg.w_pos, cfg.w_height,
+         cfg.w_orient, cfg.w_orient, 0.0,
+         cfg.w_vel, cfg.w_vel, cfg.w_vel,
+         cfg.w_omega, cfg.w_omega, cfg.w_vel])
+    Ud = jnp.tile(jnp.asarray(
+        [cfg.w_force_tangent, cfg.w_force_tangent, cfg.w_force_normal]),
+        foot_rel.shape[0])
+    x0 = jnp.concatenate([
+        (phys.base_pos * jnp.asarray([0.0, 0.0, 1.0])),
+        quat_ops.to_rotvec(
+            quat_ops.mul(phys.base_quat, quat_ops.conjugate(
+                quat_ops.from_axis_angle(jnp.asarray([0.0, 0.0, 1.0]), yaw)))),
+        phys.base_lin_vel,
+        phys.base_ang_vel,
+    ]) - x_ref
+    return F, c_seq, L_seq, Xd, Ud, 5.0 * Xd, x0, f_ff_seq
 
 
 def _project_cone(fs: jax.Array, cfg: SRBConfig) -> jax.Array:

@@ -114,19 +114,33 @@ def main():
                          "bumps:0.03 | step:0.08 | grid:LEVEL (the real "
                          "curriculum TerrainGrid row; env b spawns on "
                          "type column b)")
+    ap.add_argument("--robot", type=str, default="pointfoot",
+                    choices=("pointfoot", "a1"),
+                    help="pointfoot biped (default) or A1 quadruped trot")
     args = ap.parse_args()
 
-    model = get_model("pointfoot")
+    quad = args.robot == "a1"
+    model = get_model(args.robot)
     params = PhysicsParams.nominal(model)
     feet = model.collision_indices("foot")
-    gcfg = GaitConfig(period=args.period, duty=args.duty,
-                      k_raibert=args.k_raibert, kp_cart=args.kp_cart,
-                      y_off=args.y_off, k_int=args.k_int,
-                      kd_cart=args.kd_cart, swing_height=args.swing_height,
-                      yaw_anticipate=args.yaw_ant,
-                      duty_turn_gain=args.duty_turn,
-                      period_err_gain=args.err_gain,
-                      step_reach=args.step_reach)
+    # A1 trot: hip-anchored Raibert placement, diagonal-pair phase offsets,
+    # horizon contact schedule (roll about one diagonal is uncontrollable
+    # under frozen contacts), capture gain sqrt(z0/g) for z0~0.27
+    gkw = dict(period=args.period, duty=args.duty,
+               k_raibert=args.k_raibert, kp_cart=args.kp_cart,
+               y_off=args.y_off, k_int=args.k_int,
+               kd_cart=args.kd_cart, swing_height=args.swing_height,
+               yaw_anticipate=args.yaw_ant,
+               duty_turn_gain=args.duty_turn,
+               period_err_gain=args.err_gain,
+               step_reach=args.step_reach)
+    if quad:
+        gkw.update(anchor="hip", horizon_schedule=True)
+        if args.k_raibert == 0.25:  # biped default -> capture for z0~0.27
+            gkw["k_raibert"] = 0.166
+        if args.swing_height == 0.05:
+            gkw["swing_height"] = 0.06
+    gcfg = GaitConfig(**gkw)
     spawn_xyz = None
     if args.terrain.startswith("grid"):
         # the real curriculum TerrainGrid (pointfoot_rough dims): walk one
@@ -142,13 +156,27 @@ def main():
         print(f"terrain grid row {level}: type columns {cols.tolist()}")
     else:
         hfn = make_terrain(args.terrain)
+    if quad:
+        # symmetric stance (all feet level; the reference's 0.8/1.0
+        # front/rear thighs leave the rear feet ~1 cm airborne and the
+        # spawn bounce destabilizes the trot schedule)
+        q0 = np.zeros(model.nj)
+        for i, nm in enumerate(model.joint_names):
+            q0[i] = {"thigh": 0.9, "calf": -1.8}.get(nm.split("_")[1], 0.0)
+        z0, offsets = 0.2662, (0.0, 0.5, 0.5, 0.0)  # FR FL RR RL trot
+        srb_cfg = SRBConfig(w_omega=args.w_omega,
+                            w_force_tangent=args.w_tan,
+                            height_target=z0, f_max=200.0)
+    else:
+        q0, z0, offsets = np.zeros(6), 0.62, None
+        srb_cfg = SRBConfig(w_omega=args.w_omega,
+                            w_force_tangent=args.w_tan)
     ctrl = SteppingController(
-        model, params, feet, np.zeros(6),
-        srb_cfg=SRBConfig(w_omega=args.w_omega, w_force_tangent=args.w_tan),
-        gait_cfg=gcfg,
-        height_fn=None if args.terrain in ("", "flat") else hfn)
-    phys = PhysicsState.default(model, np.zeros(6), batch=(args.b,),
-                                base_height=0.62)
+        model, params, feet, q0, srb_cfg=srb_cfg, gait_cfg=gcfg,
+        height_fn=None if args.terrain in ("", "flat") else hfn,
+        offsets=offsets)
+    phys = PhysicsState.default(model, q0, batch=(args.b,),
+                                base_height=z0)
     if spawn_xyz is not None:
         off = jnp.asarray(spawn_xyz, jnp.float32)
         phys = phys.replace(base_pos=phys.base_pos + off)
@@ -170,7 +198,8 @@ def main():
     phys, tr = rollout(ctrl, phys, cmd, args.ticks,
                        heading=heading, height_fn=hfn)
     relz = tr["z"] - np.asarray(hfn(tr["x"], tr["y"]))  # height above ground
-    fallen = (relz < 0.35) | (tr["tilt"] > 0.8)  # (T, B)
+    z_fall = 0.15 if quad else 0.35
+    fallen = (relz < z_fall) | (tr["tilt"] > 0.8) | ~np.isfinite(relz)
     first_fall = np.where(fallen.any(0), fallen.argmax(0), args.ticks)
     print(f"cmd vx={args.vx}  ticks={args.ticks} (dt 0.02)")
     print(f"falls: {int((first_fall < args.ticks).sum())}/{args.b}")
@@ -192,13 +221,14 @@ def main():
     e = min(args.trace_env, args.b - 1)
     t_end = int(first_fall[e]) + 10
     for t in range(0, min(t_end, args.ticks), 2):
+        fz_s = ",".join(f"{v:5.1f}" for v in tr['fz'][t, e])
+        fy_s = ",".join(f"{v:+.3f}" for v in tr['foot_y'][t, e])
+        fzp_s = ",".join(f"{v:.3f}" for v in tr['foot_z'][t, e])
         print(f"  t={t*0.02:5.2f}s ph={tr['phase'][t,e]:.2f} "
               f"z={tr['z'][t,e]:.3f} r={tr['roll'][t,e]:+.2f} "
               f"p={tr['pitch'][t,e]:+.2f} vx={tr['vx'][t,e]:+.2f} "
               f"vy={tr['vy'][t,e]:+.2f} "
-              f"fz=({tr['fz'][t,e,0]:5.1f},{tr['fz'][t,e,1]:5.1f}) "
-              f"fy=({tr['foot_y'][t,e,0]:+.3f},{tr['foot_y'][t,e,1]:+.3f}) "
-              f"fzp=({tr['foot_z'][t,e,0]:.3f},{tr['foot_z'][t,e,1]:.3f})")
+              f"fz=({fz_s}) fy=({fy_s}) fzp=({fzp_s})")
 
 
 if __name__ == "__main__":
