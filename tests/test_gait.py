@@ -326,3 +326,58 @@ def test_biped_turns_closed_loop():
             f"fell at vx={vx_cmd} wz={wz_cmd}: min z {zs.min()}")
         progress = (yaws[-1] - yaws[0]).mean() / (wz_cmd * ticks * 0.02)
         assert progress > 0.70, (vx_cmd, wz_cmd, progress)
+
+
+@pytest.mark.slow
+def test_quadruped_trots_closed_loop():
+    """A1 quadruped trot under the same stepping stack (hip-anchored
+    Raibert placement, diagonal-pair offsets, horizon contact schedule):
+    5 s at cmd vx 0.4 with zero falls and small tilt.
+
+    The trot runs control AT the 200 Hz substep rate with stiff attitude
+    weights (w_orient 100 / w_omega 5): at the biped's 50 Hz rate the
+    swing-leg reaction moment develops a ~0.3 rad pitch offset between
+    plan refreshes regardless of the SRB inertia model; at 200 Hz the
+    whole-robot inertia walks with max tilt ~0.08 (scripts/gait_diag.py
+    --robot a1)."""
+    from pointfoot_tpu.physics import dynamics
+
+    FLAT = lambda x, y: jnp.zeros_like(jnp.asarray(x, jnp.float32))
+    model = get_model("a1")
+    params = PhysicsParams.nominal(model)
+    feet = model.collision_indices("foot")
+    q0 = np.zeros(model.nj)
+    for i, nm in enumerate(model.joint_names):
+        q0[i] = {"thigh": 0.9, "calf": -1.8}.get(nm.split("_")[1], 0.0)
+    z0 = 0.2662
+    gcfg = GaitConfig(anchor="hip", horizon_schedule=True, k_raibert=0.166,
+                      swing_height=0.06, kp_cart=600.0, kd_cart=20.0,
+                      k_int=0.0)
+    srb = SRBConfig(height_target=z0, w_force_tangent=3e-3, f_max=200.0,
+                    w_orient=100.0, w_omega=5.0)
+    ctrl = SteppingController(model, params, feet, q0, srb_cfg=srb,
+                              gait_cfg=gcfg, dt=0.005,
+                              offsets=(0.0, 0.5, 0.5, 0.0))
+    B = 2
+    phys = PhysicsState.default(model, q0, batch=(B,), base_height=z0)
+    gait = ctrl.init(B, phys)
+    cmd = jnp.broadcast_to(jnp.asarray([0.4, 0.0, 0.0]), (B, 3))
+
+    def sub(carry, _):
+        p, g = carry
+        tau, g = ctrl.control(p, cmd, g)
+        p = jax.vmap(lambda s, t: dynamics.step(
+            model, params, s, t, FLAT, 0.005))(p, tau)
+        from pointfoot_tpu.ops import quat as quat_ops
+        grav_b = jax.vmap(lambda q: quat_ops.rotate_inverse(
+            q, jnp.asarray([0.0, 0.0, -1.0])))(p.base_quat)
+        tilt = jnp.arccos(jnp.clip(-grav_b[:, 2], -1, 1))
+        return (p, g), (p.base_pos[:, 2], tilt, p.base_lin_vel[:, 0])
+
+    (phys, gait), (zs, tilts, vxs) = jax.lax.scan(
+        sub, (phys, gait), None, length=1000)  # 5 s @ 200 Hz
+    zs, tilts, vxs = np.asarray(zs), np.asarray(tilts), np.asarray(vxs)
+    assert zs.min() > 0.15, f"fell: min z {zs.min()}"
+    assert tilts.max() < 0.3, f"tilt blew up: {tilts.max()}"
+    # forward progress at a meaningful fraction of the command
+    assert vxs[400:].mean() > 0.2, vxs[400:].mean()
