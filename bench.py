@@ -227,7 +227,40 @@ def main(task="pointfoot_rough"):
     }))
 
 
+def _tunnel_guard():
+    """Fail fast if the TPU tunnel is wedged.
+
+    A wedged axon tunnel blocks the FIRST in-process jax device
+    enumeration forever (no timeout, no traceback — see
+    docs/ROUND2_NOTES.md "Operational hazards"), which would hang the
+    driver's end-of-round bench.  Probe with a tiny bounded SUBPROCESS
+    client first (scripts/tpu_probe.sh, the same probe the training
+    queue uses) and exit with an explicit error line instead of
+    hanging.  BENCH_SKIP_PROBE=1 bypasses (e.g. CPU-only A/B runs).
+    """
+    if os.environ.get("BENCH_SKIP_PROBE"):
+        return
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "tpu_probe.sh")
+    if not os.path.exists(probe):
+        return
+    import subprocess
+    rc = subprocess.call(["bash", probe],
+                         env={**os.environ, "PROBE_TIMEOUT_S": "300"})
+    if rc != 0:
+        print(json.dumps({
+            "metric": f"bench_error_{MODE}",
+            "value": 0,
+            "unit": "tunnel_wedged",
+            "vs_baseline": 0,
+            "error": "TPU tunnel did not answer a 300 s probe; "
+                     "bench aborted instead of hanging",
+        }))
+        sys.exit(3)
+
+
 if __name__ == "__main__":
+    _tunnel_guard()
     if MODE == "mpc":
         main_mpc()
     elif MODE == "mpc_ilqr":
