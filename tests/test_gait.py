@@ -381,3 +381,56 @@ def test_quadruped_trots_closed_loop():
     assert tilts.max() < 0.3, f"tilt blew up: {tilts.max()}"
     # forward progress at a meaningful fraction of the command
     assert vxs[400:].mean() > 0.2, vxs[400:].mean()
+
+
+@pytest.mark.slow
+def test_quadruped_turns_on_terrain():
+    """The quad envelope beyond flat-forward: vx 0.4 + wz 0.5 on a 4 cm
+    wave field, zero falls and >=60% integrated yaw progress (the slew
+    ramp eats ~20%; steady-state rate tracking is ~97% — a quadruped
+    keeps 2 feet in contact so the force-couple yaw authority that caps
+    the biped at ~85% is not a constraint here).  Terrain plumbing
+    (height_fn) is identical to the biped path; also validated via
+    scripts/gait_diag.py --robot a1: 15% slopes and +/-5 cm steps at
+    vx 0.4 (vx 0.6 on a 15% slope falls ~2.8 s — past the edge)."""
+    from pointfoot_tpu.physics import dynamics
+    from pointfoot_tpu.terrain.analytic import make_terrain
+    from pointfoot_tpu.ops import quat as quat_ops
+
+    hfn = make_terrain("wave:0.04")
+    model = get_model("a1")
+    params = PhysicsParams.nominal(model)
+    feet = model.collision_indices("foot")
+    q0 = np.zeros(model.nj)
+    for i, nm in enumerate(model.joint_names):
+        q0[i] = {"thigh": 0.9, "calf": -1.8}.get(nm.split("_")[1], 0.0)
+    z0 = 0.2662
+    gcfg = GaitConfig(anchor="hip", horizon_schedule=True, k_raibert=0.166,
+                      swing_height=0.06, kp_cart=600.0, kd_cart=20.0,
+                      k_int=0.0)
+    srb = SRBConfig(height_target=z0, w_force_tangent=3e-3, f_max=200.0,
+                    w_orient=100.0, w_omega=5.0)
+    ctrl = SteppingController(model, params, feet, q0, srb_cfg=srb,
+                              gait_cfg=gcfg, dt=0.005, height_fn=hfn,
+                              offsets=(0.0, 0.5, 0.5, 0.0))
+    B = 2
+    phys = PhysicsState.default(model, q0, batch=(B,), base_height=z0)
+    gait = ctrl.init(B, phys)
+    cmd = jnp.broadcast_to(jnp.asarray([0.4, 0.0, 0.5]), (B, 3))
+
+    def sub(carry, _):
+        p, g = carry
+        tau, g = ctrl.control(p, cmd, g)
+        p = jax.vmap(lambda s, t: dynamics.step(
+            model, params, s, t, hfn, 0.005))(p, tau)
+        relz = p.base_pos[:, 2] - hfn(p.base_pos[:, 0], p.base_pos[:, 1])
+        yaw = jax.vmap(quat_ops.yaw)(p.base_quat)
+        return (p, g), (relz, yaw)
+
+    (phys, gait), (relzs, yaws) = jax.lax.scan(
+        sub, (phys, gait), None, length=1000)  # 5 s @ 200 Hz
+    relzs = np.asarray(relzs)
+    yaws = np.unwrap(np.asarray(yaws), axis=0)
+    assert relzs.min() > 0.15, f"fell: min rel z {relzs.min()}"
+    progress = (yaws[-1] - yaws[0]).mean() / (0.5 * 5.0)
+    assert progress > 0.60, progress
