@@ -206,6 +206,68 @@ def heading_command(base_quat, cmd_vxy, heading_des,
     return jnp.concatenate([cmd_vxy, wz[..., None]], axis=-1)
 
 
+class TunedStack(NamedTuple):
+    """A ready-to-roll gait-MPC stack from `make_controller`."""
+    ctrl: "SteppingController"
+    q0: jax.Array  # default joint pose
+    z0: float  # spawn / SRB reference height
+    ctrl_dt: float  # control tick period [s]
+    substeps: int  # physics substeps (at 200 Hz) per control tick
+
+
+def make_controller(robot: str, height_fn=None, gait_overrides=None,
+                    srb_overrides=None) -> TunedStack:
+    """Tuned gait-MPC stack for a named robot.
+
+    Encapsulates the validated per-robot configuration (gains, gait
+    pattern, control rate) so callers — scripts, tests, users — get the
+    walking controller in one call instead of re-deriving the tuning:
+
+    * ``pointfoot``: biped alternating gait at the reference two-rate
+      scheme (50 Hz control / 4 x 200 Hz substeps), CoM-anchored
+      capture-point placement.  Envelope: vx <= 0.8 flat, terrain and
+      turning per the module docstring.
+    * ``a1``: quadruped trot (diagonal pairs, hip anchoring, horizon
+      contact schedule) at 200 Hz control — see the module docstring
+      for why the trot needs the full substep rate.  Envelope: flat
+      vx <= 0.6; 15% slopes / 4 cm waves / +/-5 cm steps / wz 0.5
+      turns at vx 0.4.
+
+    `gait_overrides` / `srb_overrides` are dicts merged over the tuned
+    defaults (e.g. {"period": 0.3}).
+    """
+    from pointfoot_tpu.physics.assets import get_model
+    import numpy as np
+
+    model = get_model(robot)
+    feet = model.collision_indices("foot")
+    if robot == "pointfoot":
+        q0 = np.zeros(model.nj, np.float32)
+        z0, ctrl_dt, substeps, offsets = 0.62, 0.02, 4, None
+        gkw, skw = {}, dict(w_force_tangent=3e-3)
+    elif robot == "a1":
+        q0 = np.zeros(model.nj, np.float32)
+        for i, nm in enumerate(model.joint_names):
+            q0[i] = {"thigh": 0.9, "calf": -1.8}.get(nm.split("_")[1], 0.0)
+        z0, ctrl_dt, substeps = 0.2662, 0.005, 1
+        offsets = (0.0, 0.5, 0.5, 0.0)  # FR FL RR RL trot
+        gkw = dict(anchor="hip", horizon_schedule=True, k_raibert=0.166,
+                   swing_height=0.06, kp_cart=600.0, kd_cart=20.0,
+                   k_int=0.0)
+        skw = dict(height_target=z0, w_force_tangent=3e-3, f_max=200.0,
+                   w_orient=100.0, w_omega=5.0)
+    else:
+        raise ValueError(f"no tuned gait stack for {robot!r} "
+                         "(have: pointfoot, a1)")
+    gkw.update(gait_overrides or {})
+    skw.update(srb_overrides or {})
+    ctrl = SteppingController(model, PhysicsParams.nominal(model), feet,
+                              q0, srb_cfg=SRBConfig(**skw),
+                              gait_cfg=GaitConfig(**gkw), dt=ctrl_dt,
+                              height_fn=height_fn, offsets=offsets)
+    return TunedStack(ctrl, jnp.asarray(q0), z0, ctrl_dt, substeps)
+
+
 class SteppingController:
     """Biped walking: SRB stance forces + Raibert swing stepping."""
 

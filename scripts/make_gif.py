@@ -42,28 +42,28 @@ def main():
     ap.add_argument("--terrain", type=str, default="flat",
                     help="gait mode: kind:amp analytic terrain "
                          "(terrain/analytic.py), e.g. wave:0.04")
+    ap.add_argument("--robot", type=str, default="pointfoot",
+                    help="gait mode: robot with a tuned stack "
+                         "(pointfoot | a1)")
     args = ap.parse_args()
 
     from pointfoot_tpu.utils.visualizer import render_rollout
 
     if args.mode == "gait":
-        from pointfoot_tpu.mpc.gait import SteppingController
+        from pointfoot_tpu.mpc.gait import heading_command, make_controller
         from pointfoot_tpu.physics import dynamics
-        from pointfoot_tpu.physics.assets import get_model
-        from pointfoot_tpu.physics.model import PhysicsParams, PhysicsState
+        from pointfoot_tpu.physics.model import PhysicsState
 
         from pointfoot_tpu.terrain.analytic import (
             AnalyticTerrain, make_terrain)
 
         hfn = make_terrain(args.terrain)
         on_terrain = args.terrain not in ("", "flat")
-        model = get_model("pointfoot")
-        params = PhysicsParams.nominal(model)
-        feet = model.collision_indices("foot")
-        ctrl = SteppingController(model, params, feet, np.zeros(model.nj),
-                                  height_fn=hfn if on_terrain else None)
-        phys = PhysicsState.default(model, np.zeros(model.nj), batch=(1,),
-                                    base_height=0.62)
+        stack = make_controller(args.robot,
+                                height_fn=hfn if on_terrain else None)
+        ctrl, model, params = stack.ctrl, stack.ctrl.model, stack.ctrl.params
+        phys = PhysicsState.default(model, stack.q0, batch=(1,),
+                                    base_height=stack.z0)
         gait = ctrl.init(1, phys)
         cmd = jnp.asarray([[args.vx, 0.0, args.wz]])
 
@@ -72,20 +72,22 @@ def main():
             def sub(pp, _):
                 return jax.vmap(lambda s, u: dynamics.step(
                     model, params, s, u, hfn, 0.005))(pp, tq), ()
-            p, _ = jax.lax.scan(sub, p, None, length=4)
+            p, _ = jax.lax.scan(sub, p, None, length=stack.substeps)
             return p
 
-        from pointfoot_tpu.mpc.gait import heading_command
-
+        # render cadence: `--every` is in 50 Hz-equivalent ticks so GIF
+        # timing is robot-independent (the a1 ticks at 200 Hz)
+        ticks_per_50hz = max(1, round(0.02 / stack.ctrl_dt))
+        every = args.every * ticks_per_50hz
         states = []
-        for t in range(args.steps):
+        for t in range(args.steps * ticks_per_50hz):
             c = cmd
             if args.heading is not None:
                 c = heading_command(phys.base_quat, cmd[:, :2],
                                     jnp.full((1,), args.heading))
             tq, gait = ctrl.control(phys, c, gait)
             phys = substeps(phys, tq)
-            if t % args.every == 0:
+            if t % every == 0:
                 states.append(tree_index(phys, 0))
         out = render_rollout(
             model, states, params, args.out, fps=25 // args.every,
