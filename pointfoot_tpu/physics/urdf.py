@@ -166,6 +166,15 @@ def load_urdf(path: str) -> Tuple[RobotModel, Dict[str, int]]:
         n = np.linalg.norm(axis)
         if n > 0:
             axis = axis / n
+        # URDF defaults a missing lower/upper to 0, which would LOCK the
+        # joint at q=0 (the anymal_c URDF writes <limit effort velocity/>
+        # only).  Real consumers (Isaac Gym; reference trains anymal_c
+        # with moving joints) treat a degenerate range as unlimited — do
+        # the same.
+        lo = float(lim.get("lower", 0.0)) if lim is not None else -1e9
+        hi = float(lim.get("upper", 0.0)) if lim is not None else 1e9
+        if lo >= hi:
+            lo, hi = -1e9, 1e9
         joints.append(
             _Joint(
                 name=el.get("name"),
@@ -177,8 +186,8 @@ def load_urdf(path: str) -> Tuple[RobotModel, Dict[str, int]]:
                     _vec(origin.get("rpy") if origin is not None else None)
                 ),
                 axis=axis,
-                lower=float(lim.get("lower", 0.0)) if lim is not None else -1e9,
-                upper=float(lim.get("upper", 0.0)) if lim is not None else 1e9,
+                lower=lo,
+                upper=hi,
                 effort=float(lim.get("effort", 1e9)) if lim is not None else 1e9,
                 velocity=float(lim.get("velocity", 1e9)) if lim is not None else 1e9,
                 damping=float(dyn.get("damping", 0.0)) if dyn is not None else 0.0,

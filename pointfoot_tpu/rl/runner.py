@@ -100,19 +100,25 @@ class OnPolicyRunner:
 
         def step_fn(carry, step_key):
             env_state, obs, priv_obs = carry
+            # symmetric-critic envs have NO separate privileged obs:
+            # priv_obs is threaded as None (a static empty pytree) and obs
+            # substitutes at the use sites.  Duplicating the obs buffer
+            # into priv_obs instead would donate the SAME buffer twice in
+            # the jitted iteration (XLA Execute error) — anymal/a1/cassie
+            # hit this; pointfoot's asymmetric critic never did.
+            po = obs if priv_obs is None else priv_obs
             mean, std = net.apply(train_state.params, obs,
                                   method=net.distribution)
-            value = net.apply(train_state.params, priv_obs, method=net.value)
+            value = net.apply(train_state.params, po, method=net.value)
             action = sample_action(mean, std, step_key)
             log_prob = gaussian_log_prob(mean, std, action)
             env_state, out = self.env.step(env_state, action)
             trans = Transition(
-                obs=obs, priv_obs=priv_obs, action=action, reward=out.reward,
+                obs=obs, priv_obs=po, action=action, reward=out.reward,
                 done=out.done, time_out=out.extras["time_outs"].astype(
                     out.reward.dtype),
                 value=value, log_prob=log_prob, mean=mean, std=std)
-            next_priv = (out.privileged_obs if out.privileged_obs is not None
-                         else out.obs)
+            next_priv = (None if priv_obs is None else out.privileged_obs)
             info = {
                 "episode_rew": out.extras["episode_rew"],
                 "num_resets": out.extras["num_resets"],
@@ -136,8 +142,9 @@ class OnPolicyRunner:
 
         def step_fn(sc, step_key):
             env_state, obs, priv_obs, carry = sc
+            po = obs if priv_obs is None else priv_obs  # see rollout()
             carry, (mean, std, value) = net.apply(
-                train_state.params, carry, obs, priv_obs)
+                train_state.params, carry, obs, po)
             action = sample_action(mean, std, step_key)
             log_prob = gaussian_log_prob(mean, std, action)
             env_state, out = self.env.step(env_state, action)
@@ -145,12 +152,11 @@ class OnPolicyRunner:
             m = (1.0 - out.done.astype(obs.dtype))[:, None]
             carry = jax.tree.map(lambda c: c * m, carry)
             trans = Transition(
-                obs=obs, priv_obs=priv_obs, action=action, reward=out.reward,
+                obs=obs, priv_obs=po, action=action, reward=out.reward,
                 done=out.done, time_out=out.extras["time_outs"].astype(
                     out.reward.dtype),
                 value=value, log_prob=log_prob, mean=mean, std=std)
-            next_priv = (out.privileged_obs if out.privileged_obs is not None
-                         else out.obs)
+            next_priv = (None if priv_obs is None else out.privileged_obs)
             info = {
                 "episode_rew": out.extras["episode_rew"],
                 "num_resets": out.extras["num_resets"],
@@ -171,7 +177,8 @@ class OnPolicyRunner:
         env_state, obs, priv_obs, rollout, infos = self.rollout(
             train_state, env_state, obs, priv_obs, k_roll)
         last_value = self.network.apply(
-            train_state.params, priv_obs, method=self.network.value)
+            train_state.params, obs if priv_obs is None else priv_obs,
+            method=self.network.value)
         train_state, metrics = self.ppo.update(
             train_state, rollout, last_value, k_update)
         return self._finish_iteration(
@@ -188,7 +195,8 @@ class OnPolicyRunner:
                 train_state, env_state, obs, priv_obs, carry, k_roll)
         # bootstrap value with the current carry (advanced copy is discarded)
         _, (_, _, last_value) = self.network.apply(
-            train_state.params, carry, obs, priv_obs)
+            train_state.params, carry, obs,
+            obs if priv_obs is None else priv_obs)
         train_state, metrics = self.ppo.update(
             train_state, rollout, last_value, k_update, carry0=carry0)
         out = self._finish_iteration(
@@ -261,8 +269,7 @@ class OnPolicyRunner:
         env_state, out0 = jax.jit(self.env.step)(
             env_state, jnp.zeros((self.env.num_envs, self.env.num_actions)))
         obs = out0.obs
-        priv_obs = (out0.privileged_obs if out0.privileged_obs is not None
-                    else out0.obs)
+        priv_obs = out0.privileged_obs  # None for symmetric-critic envs
 
         carry = (self.network.initialize_carry((self.env.num_envs,))
                  if self.recurrent else None)
