@@ -161,6 +161,21 @@ class GaitConfig:
     # makes hip-roll feedback benign and whose front/rear legs must NOT
     # all converge on the CoM)
     anchor: str = "com"
+    # stance-leg gravity/bias compensation scale.  The SRB plan's ground
+    # force f already supports the TOTAL robot mass, so adding the full
+    # joint-space bias C on stance legs double-counts the stance-leg
+    # weight.  For light-legged robots (pointfoot ~8%, A1 ~1% of mass in
+    # the legs below the hips) the surplus is absorbed by the LQR height
+    # feedback and the full C term was tuned in (marginal-stability
+    # caveat: default stays 1).  For the ANYmal (50% leg mass) the
+    # surplus thrust EXTENDS the legs to the straight-knee singularity
+    # where the swing Jacobian loses the vertical direction and the trot
+    # dies standing tall (+6.5 cm, swing feet never lift) — set ~0 there
+    stance_bias_comp: float = 1.0
+    # joint-space posture spring on stance legs toward default_qpos:
+    # regularizes heavy-legged robots away from the knee singularity the
+    # task-space controllers cannot escape.  0 = off (biped default)
+    kp_posture: float = 0.0
     # contact schedule over the SRB horizon (Di Carlo 2018 convex-MPC
     # formulation): gate the force columns per horizon step from the gait
     # clock's FUTURE stance masks, with swing feet planned at their step
@@ -232,6 +247,11 @@ def make_controller(robot: str, height_fn=None, gait_overrides=None,
       for why the trot needs the full substep rate.  Envelope: flat
       vx <= 0.6; 15% slopes / 4 cm waves / +/-5 cm steps / wz 0.5
       turns at vx 0.4.
+    * ``anymal_c``: same trot recipe at ANYmal scale (52 kg, legs ~50%
+      of total mass).  The heavy legs need a slower cadence (0.5 s —
+      per-step impact losses were the dominant velocity drag), a
+      stiffer SRB velocity weight, and the integral placement trim;
+      envelope vx <= 0.6 (~80% tracking), 0.8 pitch-dives.
 
     `gait_overrides` / `srb_overrides` are dicts merged over the tuned
     defaults (e.g. {"period": 0.3}).
@@ -240,7 +260,8 @@ def make_controller(robot: str, height_fn=None, gait_overrides=None,
     import numpy as np
 
     model = get_model(robot)
-    feet = model.collision_indices("foot")
+    feet = (model.collision_indices("foot")
+            or model.collision_indices("FOOT"))
     if robot == "pointfoot":
         q0 = np.zeros(model.nj, np.float32)
         z0, ctrl_dt, substeps, offsets = 0.62, 0.02, 4, None
@@ -256,9 +277,21 @@ def make_controller(robot: str, height_fn=None, gait_overrides=None,
                    k_int=0.0)
         skw = dict(height_target=z0, w_force_tangent=3e-3, f_max=200.0,
                    w_orient=100.0, w_omega=5.0)
+    elif robot == "anymal_c":
+        q0 = np.zeros(model.nj, np.float32)
+        for i, nm in enumerate(model.joint_names):
+            sgn = 1.0 if nm[1] == "F" else -1.0  # LF/RF vs LH/RH mirror
+            q0[i] = {"HFE": 0.4 * sgn, "KFE": -0.8 * sgn}.get(nm[3:], 0.0)
+        z0, ctrl_dt, substeps = 0.5488, 0.005, 1
+        offsets = (0.0, 0.5, 0.5, 0.0)  # LF RF LH RH trot
+        gkw = dict(anchor="hip", horizon_schedule=True, k_raibert=0.237,
+                   period=0.5, swing_height=0.08, kp_cart=600.0,
+                   kd_cart=20.0, k_int=0.1)
+        skw = dict(height_target=z0, w_force_tangent=3e-3, f_max=500.0,
+                   w_orient=100.0, w_omega=5.0, w_vel=50.0)
     else:
         raise ValueError(f"no tuned gait stack for {robot!r} "
-                         "(have: pointfoot, a1)")
+                         "(have: pointfoot, a1, anymal_c)")
     gkw.update(gait_overrides or {})
     skw.update(srb_overrides or {})
     ctrl = SteppingController(model, PhysicsParams.nominal(model), feet,
@@ -593,7 +626,9 @@ class SteppingController:
             stance_mask_j = jnp.minimum(stance_mask_j, 1.0)
             swing_mask_j = jnp.minimum(swing_mask_j, 1.0)
             tau = tau + stance_mask_j * (
-                C[6:] - self.srb.kd_stance * p.qvel)
+                g.stance_bias_comp * C[6:]
+                + g.kp_posture * (self.default_qpos - p.qpos)
+                - self.srb.kd_stance * p.qvel)
 
             # swing torques: task-space PD along the swing trajectory.
             # The vertical profile completes at s=0.8 of the swing window

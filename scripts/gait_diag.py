@@ -26,8 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 import pointfoot_tpu.mpc.gait as gait_mod
-from pointfoot_tpu.mpc.gait import GaitConfig, SteppingController
-from pointfoot_tpu.mpc.srb import SRBConfig
+from pointfoot_tpu.mpc.gait import (
+    GaitConfig, SteppingController, make_controller)
 from pointfoot_tpu.ops import quat as quat_ops
 from pointfoot_tpu.physics import dynamics
 from pointfoot_tpu.physics.assets import get_model
@@ -117,38 +117,33 @@ def main():
                          "curriculum TerrainGrid row; env b spawns on "
                          "type column b)")
     ap.add_argument("--robot", type=str, default="pointfoot",
-                    choices=("pointfoot", "a1"),
-                    help="pointfoot biped (default) or A1 quadruped trot")
+                    choices=("pointfoot", "a1", "anymal_c"),
+                    help="robot with a tuned stack (mpc.gait.make_controller)")
     args = ap.parse_args()
 
-    quad = args.robot == "a1"
+    quad = args.robot != "pointfoot"
     model = get_model(args.robot)
-    params = PhysicsParams.nominal(model)
-    feet = model.collision_indices("foot")
-    # A1 trot: hip-anchored Raibert placement, diagonal-pair phase offsets,
-    # horizon contact schedule (roll about one diagonal is uncontrollable
-    # under frozen contacts), capture gain sqrt(z0/g) for z0~0.27
-    gkw = dict(period=args.period, duty=args.duty,
-               k_raibert=args.k_raibert, kp_cart=args.kp_cart,
-               y_off=args.y_off, k_int=args.k_int,
-               kd_cart=args.kd_cart, swing_height=args.swing_height,
-               yaw_anticipate=args.yaw_ant,
-               duty_turn_gain=args.duty_turn,
-               period_err_gain=args.err_gain,
-               step_reach=args.step_reach)
+    # flag values that differ from the biped defaults are overrides on
+    # top of the robot's tuned stack (mpc.gait.make_controller); a flag
+    # left at its default defers to the tuned per-robot value
+    _flag_defaults = dict(
+        period=0.34, duty=0.55, k_raibert=0.25, kp_cart=300.0,
+        y_off=0.06, k_int=0.12, kd_cart=12.0, swing_height=0.05,
+        yaw_anticipate=GaitConfig.yaw_anticipate,
+        duty_turn_gain=GaitConfig.duty_turn_gain,
+        period_err_gain=GaitConfig.period_err_gain,
+        step_reach=GaitConfig.step_reach)
+    _flag_vals = dict(
+        period=args.period, duty=args.duty, k_raibert=args.k_raibert,
+        kp_cart=args.kp_cart, y_off=args.y_off, k_int=args.k_int,
+        kd_cart=args.kd_cart, swing_height=args.swing_height,
+        yaw_anticipate=args.yaw_ant, duty_turn_gain=args.duty_turn,
+        period_err_gain=args.err_gain, step_reach=args.step_reach)
     if quad:
-        gkw.update(anchor="hip", horizon_schedule=True)
-        if args.k_raibert == 0.25:  # biped default -> capture for z0~0.27
-            gkw["k_raibert"] = 0.166
-        if args.swing_height == 0.05:
-            gkw["swing_height"] = 0.06
-        if args.kp_cart == 300.0:  # stiffer swing PD for the 200 Hz loop
-            gkw["kp_cart"] = 600.0
-        if args.kd_cart == 12.0:
-            gkw["kd_cart"] = 20.0
-        if args.k_int == 0.12:  # integral trim untuned for the trot
-            gkw["k_int"] = 0.0
-    gcfg = GaitConfig(**gkw)
+        gkw = {k: v for k, v in _flag_vals.items()
+               if v != _flag_defaults[k]}
+    else:
+        gkw = _flag_vals
     spawn_xyz = None
     if args.terrain.startswith("grid"):
         # the real curriculum TerrainGrid (pointfoot_rough dims): walk one
@@ -164,40 +159,20 @@ def main():
         print(f"terrain grid row {level}: type columns {cols.tolist()}")
     else:
         hfn = make_terrain(args.terrain)
-    if quad:
-        # symmetric stance (all feet level; the reference's 0.8/1.0
-        # front/rear thighs leave the rear feet ~1 cm airborne and the
-        # spawn bounce destabilizes the trot schedule)
-        q0 = np.zeros(model.nj)
-        for i, nm in enumerate(model.joint_names):
-            q0[i] = {"thigh": 0.9, "calf": -1.8}.get(nm.split("_")[1], 0.0)
-        z0, offsets = 0.2662, (0.0, 0.5, 0.5, 0.0)  # FR FL RR RL trot
-        # stiff attitude regulation (w_orient 100 / w_omega 5): at the
-        # 200 Hz rate this is what holds pitch against the swing-leg
-        # reaction moment (validated: max tilt 0.08 at vx 0.4)
-        w_or = 100.0 if args.w_orient == 30.0 else args.w_orient
-        w_om = 5.0 if args.w_omega == 2.0 else args.w_omega
-        srb_cfg = SRBConfig(w_omega=w_om, w_orient=w_or,
-                            w_force_tangent=args.w_tan,
-                            height_target=z0, f_max=200.0)
-    else:
-        q0, z0, offsets = np.zeros(6), 0.62, None
-        srb_cfg = SRBConfig(w_omega=args.w_omega, w_orient=args.w_orient,
-                            w_force_tangent=args.w_tan)
+    skw = {k: v for k, v in (("w_omega", args.w_omega),
+                             ("w_orient", args.w_orient),
+                             ("w_force_tangent", args.w_tan))
+           if v != getattr(SteppingController.WALK_SRB, k)}
+    stack = make_controller(
+        args.robot, gait_overrides=gkw, srb_overrides=skw,
+        height_fn=None if args.terrain in ("", "flat") else hfn)
+    ctrl, q0, z0 = stack.ctrl, stack.q0, stack.z0
     # control rate: the biped runs the reference two-rate scheme (50 Hz
-    # control / 200 Hz substep); the A1 trot needs control AT the substep
-    # rate — at 50 Hz whole-robot vs trunk-only SRB inertia both leave a
-    # ~0.3 rad pitch offset (the swing-leg reaction moment develops faster
-    # than the plan refreshes), while at 200 Hz the whole-robot inertia
-    # walks with max tilt 0.08 at vx 0.4 (validated envelope: vx <= 0.6;
-    # 0.8 falls ~3-4 s in)
-    ctrl_dt = 0.005 if quad else 0.02
-    substeps = 1 if quad else 4
+    # control / 200 Hz substep); the quadruped trots tick AT the substep
+    # rate — at 50 Hz the swing-leg reaction moment develops a ~0.3 rad
+    # pitch offset between plan refreshes (see make_controller)
+    ctrl_dt, substeps = stack.ctrl_dt, stack.substeps
     ticks = args.ticks * (4 if quad else 1)
-    ctrl = SteppingController(
-        model, params, feet, q0, srb_cfg=srb_cfg, gait_cfg=gcfg, dt=ctrl_dt,
-        height_fn=None if args.terrain in ("", "flat") else hfn,
-        offsets=offsets)
     phys = PhysicsState.default(model, q0, batch=(args.b,),
                                 base_height=z0)
     if spawn_xyz is not None:

@@ -434,3 +434,42 @@ def test_quadruped_turns_on_terrain():
     assert relzs.min() > 0.15, f"fell: min rel z {relzs.min()}"
     progress = (yaws[-1] - yaws[0]).mean() / (0.5 * 5.0)
     assert progress > 0.60, progress
+
+
+@pytest.mark.slow
+def test_anymal_trots_closed_loop():
+    """ANYmal-C trot via the tuned-stack factory (make_controller): 5 s
+    at cmd vx 0.4, zero falls, >=75% steady-state velocity tracking.
+
+    Regression value is double: (1) the trot recipe generalizes to a
+    52 kg robot whose legs are ~50% of total mass (slower cadence +
+    integral trim + w_vel 50 — see make_controller); (2) it pins the
+    URDF joint-limit fix — the anymal_c URDF writes <limit effort
+    velocity/> only, and before urdf.py treated the degenerate 0/0
+    range as unlimited the baked asset LOCKED every joint at q=0
+    (robot forced straight-legged, trot dead on arrival)."""
+    from pointfoot_tpu.mpc.gait import make_controller
+    from pointfoot_tpu.physics import dynamics
+
+    FLAT = lambda x, y: jnp.zeros_like(jnp.asarray(x, jnp.float32))
+    stack = make_controller("anymal_c")
+    ctrl, model, params = stack.ctrl, stack.ctrl.model, stack.ctrl.params
+    B = 2
+    phys = PhysicsState.default(model, stack.q0, batch=(B,),
+                                base_height=stack.z0)
+    gait = ctrl.init(B, phys)
+    cmd = jnp.broadcast_to(jnp.asarray([0.4, 0.0, 0.0]), (B, 3))
+
+    def sub(carry, _):
+        p, g = carry
+        tau, g = ctrl.control(p, cmd, g)
+        p = jax.vmap(lambda s, t: dynamics.step(
+            model, params, s, t, FLAT, 0.005))(p, tau)
+        return (p, g), (p.base_pos[:, 2], p.base_lin_vel[:, 0])
+
+    (phys, gait), (zs, vxs) = jax.lax.scan(
+        sub, (phys, gait), None, length=1000)  # 5 s @ 200 Hz
+    zs, vxs = np.asarray(zs), np.asarray(vxs)
+    assert zs.min() > 0.30, f"fell: min z {zs.min()}"
+    vx_ss = vxs[600:].mean()
+    assert vx_ss > 0.3, f"undertracks: {vx_ss}"
