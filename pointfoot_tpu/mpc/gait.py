@@ -252,6 +252,15 @@ def make_controller(robot: str, height_fn=None, gait_overrides=None,
       per-step impact losses were the dominant velocity drag), a
       stiffer SRB velocity weight, and the integral placement trim;
       envelope vx <= 0.6 (~80% tracking), 0.8 pitch-dives.
+    * ``cassie``: toe-contact biped, 30 kg with ~10 kg legs and SIX
+      joints per leg.  Two cassie-specific needs: 200 Hz control (at
+      50 Hz the leg reaction moments crash it instantly, like the
+      quads) and the joint-space posture spring kp_posture=100 — a
+      3-d toe force controls only half of a 6-DOF leg, and without the
+      spring the uncontrolled null space collapses into a 20 cm crouch.
+      With both it is the best walker of the family: 98-101% velocity
+      tracking at vx 0.4-2.0, zero falls; turning ~69% of wz 0.5 (the
+      same point-contact force-couple ceiling as the pointfoot).
 
     `gait_overrides` / `srb_overrides` are dicts merged over the tuned
     defaults (e.g. {"period": 0.3}).
@@ -261,7 +270,8 @@ def make_controller(robot: str, height_fn=None, gait_overrides=None,
 
     model = get_model(robot)
     feet = (model.collision_indices("foot")
-            or model.collision_indices("FOOT"))
+            or model.collision_indices("FOOT")
+            or model.collision_indices("toe"))
     if robot == "pointfoot":
         q0 = np.zeros(model.nj, np.float32)
         z0, ctrl_dt, substeps, offsets = 0.62, 0.02, 4, None
@@ -289,9 +299,22 @@ def make_controller(robot: str, height_fn=None, gait_overrides=None,
                    kd_cart=20.0, k_int=0.1)
         skw = dict(height_target=z0, w_force_tangent=3e-3, f_max=500.0,
                    w_orient=100.0, w_omega=5.0, w_vel=50.0)
+    elif robot == "cassie":
+        q0 = np.zeros(model.nj, np.float32)
+        ang = dict(hip_abduction_left=0.1, hip_abduction_right=-0.1,
+                   hip_flexion=1.0, thigh_joint=-1.8,
+                   ankle_joint=1.57, toe_joint=-1.57)
+        for i, nm in enumerate(model.joint_names):
+            q0[i] = ang.get(nm, ang.get(nm.rsplit("_", 1)[0], 0.0))
+        z0, ctrl_dt, substeps, offsets = 0.8516, 0.005, 1, None
+        gkw = dict(k_raibert=0.295, period=0.4, swing_height=0.06,
+                   kp_cart=600.0, kd_cart=20.0, k_int=0.1,
+                   kp_posture=100.0, y_off=0.13)
+        skw = dict(height_target=z0, w_force_tangent=3e-3, f_max=400.0,
+                   w_orient=100.0, w_omega=5.0)
     else:
         raise ValueError(f"no tuned gait stack for {robot!r} "
-                         "(have: pointfoot, a1, anymal_c)")
+                         "(have: pointfoot, a1, anymal_c, cassie)")
     gkw.update(gait_overrides or {})
     skw.update(srb_overrides or {})
     ctrl = SteppingController(model, PhysicsParams.nominal(model), feet,

@@ -117,7 +117,7 @@ def main():
                          "curriculum TerrainGrid row; env b spawns on "
                          "type column b)")
     ap.add_argument("--robot", type=str, default="pointfoot",
-                    choices=("pointfoot", "a1", "anymal_c"),
+                    choices=("pointfoot", "a1", "anymal_c", "cassie"),
                     help="robot with a tuned stack (mpc.gait.make_controller)")
     args = ap.parse_args()
 
@@ -196,7 +196,7 @@ def main():
     phys, tr = rollout(ctrl, phys, cmd, ticks, substeps=substeps,
                        heading=heading, height_fn=hfn)
     relz = tr["z"] - np.asarray(hfn(tr["x"], tr["y"]))  # height above ground
-    z_fall = 0.15 if quad else 0.35
+    z_fall = 0.35 if args.robot == "pointfoot" else 0.55 * z0
     fallen = (relz < z_fall) | (tr["tilt"] > 0.8) | ~np.isfinite(relz)
     first_fall = np.where(fallen.any(0), fallen.argmax(0), ticks)
     print(f"cmd vx={args.vx}  ticks={ticks} (dt {ctrl_dt})")
