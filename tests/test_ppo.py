@@ -196,3 +196,36 @@ def test_training_improves_tracking():
     assert np.isfinite(first) and np.isfinite(last)
     # learning signal present: reward not collapsing
     assert last > first - 0.5
+
+
+@pytest.mark.slow
+def test_symmetric_critic_task_trains():
+    """Tasks WITHOUT separate privileged observations (anymal/a1/cassie —
+    num_privileged_obs=None, symmetric critic) must run the donated train
+    iteration: the old path aliased the obs buffer into priv_obs and XLA
+    rejected donating the same buffer twice, so this whole task family
+    could not train.  Pins the None-threading fix (rl/runner.py)."""
+    from dataclasses import replace
+
+    from pointfoot_tpu.utils.registry import task_registry
+
+    env = task_registry.make_env(
+        "anymal_b", num_envs=8,
+        cfg_patch=dict(terrain=dict(mesh_type="plane", curriculum=False),
+                       height_scan=dict(measure_heights=False),
+                       env=dict(num_observations=48)))
+    assert env.num_privileged_obs is None
+    _, tc = task_registry.get_cfgs("anymal_b")
+    tc = replace(
+        tc,
+        policy=replace(tc.policy, actor_hidden_dims=(32,),
+                       critic_hidden_dims=(32,)),
+        runner=replace(tc.runner, num_steps_per_env=8),
+    )
+    runner = task_registry.make_alg_runner(env, "anymal_b", train_cfg=tc)
+    # two donated iterations: the alias bug fired on the FIRST Execute,
+    # and an output-CSE alias would fire on the second
+    ts, es = runner.learn(2, key=jax.random.PRNGKey(0), log_every=1)
+    pol = runner.get_inference_policy(ts)
+    a = pol(jnp.zeros((8, env.num_obs)))
+    assert np.isfinite(np.asarray(a)).all()
