@@ -251,7 +251,9 @@ def make_controller(robot: str, height_fn=None, gait_overrides=None,
       of total mass).  The heavy legs need a slower cadence (0.5 s —
       per-step impact losses were the dominant velocity drag), a
       stiffer SRB velocity weight, and the integral placement trim;
-      envelope vx <= 0.6 (~80% tracking), 0.8 pitch-dives.
+      envelope vx <= 0.6 (~80% tracking), 0.8 pitch-dives.  The same
+      recipe runs ``anymal_b`` (30.6 kg) with even smaller tilt
+      (<= 0.02) and a wider envelope (vx <= 0.8 at ~80% tracking).
     * ``cassie``: toe-contact biped, 30 kg with ~10 kg legs and SIX
       joints per leg.  Two cassie-specific needs: 200 Hz control (at
       50 Hz the leg reaction moments crash it instantly, like the
@@ -287,17 +289,22 @@ def make_controller(robot: str, height_fn=None, gait_overrides=None,
                    k_int=0.0)
         skw = dict(height_target=z0, w_force_tangent=3e-3, f_max=200.0,
                    w_orient=100.0, w_omega=5.0)
-    elif robot == "anymal_c":
+    elif robot in ("anymal_c", "anymal_b"):
         q0 = np.zeros(model.nj, np.float32)
         for i, nm in enumerate(model.joint_names):
             sgn = 1.0 if nm[1] == "F" else -1.0  # LF/RF vs LH/RH mirror
             q0[i] = {"HFE": 0.4 * sgn, "KFE": -0.8 * sgn}.get(nm[3:], 0.0)
-        z0, ctrl_dt, substeps = 0.5488, 0.005, 1
+        # standing height of this pose (feet incl. radius on the ground),
+        # capture gain sqrt(z0/g), force cap ~ mass-proportional
+        z0 = 0.5488 if robot == "anymal_c" else 0.4968
+        ctrl_dt, substeps = 0.005, 1
         offsets = (0.0, 0.5, 0.5, 0.0)  # LF RF LH RH trot
-        gkw = dict(anchor="hip", horizon_schedule=True, k_raibert=0.237,
+        gkw = dict(anchor="hip", horizon_schedule=True,
+                   k_raibert=round((z0 / 9.81) ** 0.5, 3),
                    period=0.5, swing_height=0.08, kp_cart=600.0,
                    kd_cart=20.0, k_int=0.1)
-        skw = dict(height_target=z0, w_force_tangent=3e-3, f_max=500.0,
+        skw = dict(height_target=z0, w_force_tangent=3e-3,
+                   f_max=500.0 if robot == "anymal_c" else 300.0,
                    w_orient=100.0, w_omega=5.0, w_vel=50.0)
     elif robot == "cassie":
         q0 = np.zeros(model.nj, np.float32)
@@ -314,7 +321,8 @@ def make_controller(robot: str, height_fn=None, gait_overrides=None,
                    w_orient=100.0, w_omega=5.0)
     else:
         raise ValueError(f"no tuned gait stack for {robot!r} "
-                         "(have: pointfoot, a1, anymal_c, cassie)")
+                         "(have: pointfoot, a1, anymal_b, anymal_c, "
+                         "cassie)")
     gkw.update(gait_overrides or {})
     skw.update(srb_overrides or {})
     ctrl = SteppingController(model, PhysicsParams.nominal(model), feet,

@@ -117,7 +117,8 @@ def main():
                          "curriculum TerrainGrid row; env b spawns on "
                          "type column b)")
     ap.add_argument("--robot", type=str, default="pointfoot",
-                    choices=("pointfoot", "a1", "anymal_c", "cassie"),
+                    choices=("pointfoot", "a1", "anymal_b", "anymal_c",
+                             "cassie"),
                     help="robot with a tuned stack (mpc.gait.make_controller)")
     args = ap.parse_args()
 

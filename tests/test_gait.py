@@ -437,8 +437,10 @@ def test_quadruped_turns_on_terrain():
 
 
 @pytest.mark.slow
-def test_anymal_trots_closed_loop():
-    """ANYmal-C trot via the tuned-stack factory (make_controller): 5 s
+@pytest.mark.parametrize("robot,z_min,vx_min", [
+    ("anymal_c", 0.30, 0.30), ("anymal_b", 0.27, 0.30)])
+def test_anymal_trots_closed_loop(robot, z_min, vx_min):
+    """ANYmal trot via the tuned-stack factory (make_controller): 5 s
     at cmd vx 0.4, zero falls, >=75% steady-state velocity tracking.
 
     Regression value is double: (1) the trot recipe generalizes to a
@@ -452,7 +454,7 @@ def test_anymal_trots_closed_loop():
     from pointfoot_tpu.physics import dynamics
 
     FLAT = lambda x, y: jnp.zeros_like(jnp.asarray(x, jnp.float32))
-    stack = make_controller("anymal_c")
+    stack = make_controller(robot)
     ctrl, model, params = stack.ctrl, stack.ctrl.model, stack.ctrl.params
     B = 2
     phys = PhysicsState.default(model, stack.q0, batch=(B,),
@@ -470,9 +472,9 @@ def test_anymal_trots_closed_loop():
     (phys, gait), (zs, vxs) = jax.lax.scan(
         sub, (phys, gait), None, length=1000)  # 5 s @ 200 Hz
     zs, vxs = np.asarray(zs), np.asarray(vxs)
-    assert zs.min() > 0.30, f"fell: min z {zs.min()}"
+    assert zs.min() > z_min, f"fell: min z {zs.min()}"
     vx_ss = vxs[600:].mean()
-    assert vx_ss > 0.3, f"undertracks: {vx_ss}"
+    assert vx_ss > vx_min, f"undertracks: {vx_ss}"
 
 
 @pytest.mark.slow
