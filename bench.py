@@ -245,15 +245,16 @@ def _tunnel_guard():
     if not os.path.exists(probe):
         return
     import subprocess
+    timeout_s = os.environ.get("PROBE_TIMEOUT_S", "300")
     rc = subprocess.call(["bash", probe],
-                         env={**os.environ, "PROBE_TIMEOUT_S": "300"})
+                         env={**os.environ, "PROBE_TIMEOUT_S": timeout_s})
     if rc != 0:
         print(json.dumps({
             "metric": f"bench_error_{MODE}",
             "value": 0,
             "unit": "tunnel_wedged",
             "vs_baseline": 0,
-            "error": "TPU tunnel did not answer a 300 s probe; "
+            "error": f"TPU tunnel did not answer a {timeout_s} s probe; "
                      "bench aborted instead of hanging",
         }))
         sys.exit(3)

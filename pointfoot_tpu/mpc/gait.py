@@ -164,13 +164,12 @@ class GaitConfig:
     # stance-leg gravity/bias compensation scale.  The SRB plan's ground
     # force f already supports the TOTAL robot mass, so adding the full
     # joint-space bias C on stance legs double-counts the stance-leg
-    # weight.  For light-legged robots (pointfoot ~8%, A1 ~1% of mass in
-    # the legs below the hips) the surplus is absorbed by the LQR height
-    # feedback and the full C term was tuned in (marginal-stability
-    # caveat: default stays 1).  For the ANYmal (50% leg mass) the
-    # surplus thrust EXTENDS the legs to the straight-knee singularity
-    # where the swing Jacobian loses the vertical direction and the trot
-    # dies standing tall (+6.5 cm, swing feet never lift) — set ~0 there
+    # weight; this knob exists to A/B that surplus.  Measured: comp=1.0
+    # WINS on every robot in the family — even the 50%-leg-mass ANYmal
+    # tracks better with it (vx_ss 0.330 vs 0.167 at cmd 0.4; the LQR
+    # height feedback absorbs the surplus).  The straight-leg lockup
+    # once blamed on it was actually the anymal_c joint-limit asset bug
+    # (see physics/urdf.py).  Keep 1.0 unless re-measuring
     stance_bias_comp: float = 1.0
     # joint-space posture spring on stance legs toward default_qpos:
     # regularizes heavy-legged robots away from the knee singularity the

@@ -100,7 +100,7 @@ def srb_problem(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
     if kin is None:
         kin = dynamics.forward_kinematics(model, phys, params)
     com = jnp.sum(model.mass[:, None] * kin.com_w, axis=0) / jnp.sum(model.mass)
-    I_w = _srb_inertia(model, kin, com, cfg)
+    I_w = _srb_inertia(model, kin, com)
     from pointfoot_tpu.ops import linalg as linalg_ops
 
     I_inv = linalg_ops.inv3(I_w + 1e-6 * jnp.eye(3))
@@ -149,7 +149,7 @@ def srb_problem(model: RobotModel, phys: PhysicsState, params: PhysicsParams,
     return F, c_tot, L, Xd, Ud, 5.0 * Xd, x0, f_ff
 
 
-def _srb_inertia(model, kin, com, cfg: SRBConfig):
+def _srb_inertia(model, kin, com):
     """Whole-robot world-frame rotational inertia about the CoM.
 
     A trunk-only variant was measured as a band-aid for a 50 Hz quadruped
@@ -214,7 +214,7 @@ def srb_problem_sched(model: RobotModel, phys: PhysicsState,
     if kin is None:
         kin = dynamics.forward_kinematics(model, phys, params)
     com = jnp.sum(model.mass[:, None] * kin.com_w, axis=0) / jnp.sum(model.mass)
-    I_w = _srb_inertia(model, kin, com, cfg)
+    I_w = _srb_inertia(model, kin, com)
     from pointfoot_tpu.ops import linalg as linalg_ops
 
     I_inv = linalg_ops.inv3(I_w + 1e-6 * jnp.eye(3))

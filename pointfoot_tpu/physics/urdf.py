@@ -169,12 +169,18 @@ def load_urdf(path: str) -> Tuple[RobotModel, Dict[str, int]]:
         # URDF defaults a missing lower/upper to 0, which would LOCK the
         # joint at q=0 (the anymal_c URDF writes <limit effort velocity/>
         # only).  Real consumers (Isaac Gym; reference trains anymal_c
-        # with moving joints) treat a degenerate range as unlimited — do
-        # the same.
+        # with moving joints) treat exactly that 0/0 case as unlimited —
+        # do the same, but ONLY for 0/0: a nonzero lower==upper is an
+        # intentional pin, and an inverted range is an authoring error
+        # worth failing loudly on rather than silently unlocking.
         lo = float(lim.get("lower", 0.0)) if lim is not None else -1e9
         hi = float(lim.get("upper", 0.0)) if lim is not None else 1e9
-        if lo >= hi:
+        if lo == hi == 0.0:
             lo, hi = -1e9, 1e9
+        elif lo > hi:
+            raise ValueError(
+                f"joint {el.get('name')!r}: inverted limit range "
+                f"[{lo}, {hi}]")
         joints.append(
             _Joint(
                 name=el.get("name"),

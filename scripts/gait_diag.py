@@ -26,8 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import pointfoot_tpu.mpc.gait as gait_mod
-from pointfoot_tpu.mpc.gait import (
-    GaitConfig, SteppingController, make_controller)
+from pointfoot_tpu.mpc.gait import make_controller
 from pointfoot_tpu.ops import quat as quat_ops
 from pointfoot_tpu.physics import dynamics
 from pointfoot_tpu.physics.assets import get_model
@@ -83,31 +82,25 @@ def main():
     ap.add_argument("--wz", type=float, default=0.0)
     ap.add_argument("--ticks", type=int, default=250)
     ap.add_argument("--b", type=int, default=4)
-    ap.add_argument("--period", type=float, default=0.34)
-    ap.add_argument("--duty", type=float, default=0.55)
-    ap.add_argument("--y_off", type=float, default=0.06)
-    ap.add_argument("--k_int", type=float, default=0.12)
-    ap.add_argument("--k_raibert", type=float, default=0.25)
-    ap.add_argument("--kp_cart", type=float, default=300.0)
-    ap.add_argument("--kd_cart", type=float, default=12.0)
-    ap.add_argument("--swing_height", type=float, default=0.05)
+    ap.add_argument("--period", type=float, default=None)
+    ap.add_argument("--duty", type=float, default=None)
+    ap.add_argument("--y_off", type=float, default=None)
+    ap.add_argument("--k_int", type=float, default=None)
+    ap.add_argument("--k_raibert", type=float, default=None)
+    ap.add_argument("--kp_cart", type=float, default=None)
+    ap.add_argument("--kd_cart", type=float, default=None)
+    ap.add_argument("--swing_height", type=float, default=None)
     ap.add_argument("--perturb", type=float, default=0.0)
     ap.add_argument("--push_vx", type=float, default=0.0)
     ap.add_argument("--push_vy", type=float, default=0.0)
-    ap.add_argument("--w_omega", type=float,
-                    default=SteppingController.WALK_SRB.w_omega)
-    ap.add_argument("--w_orient", type=float,
-                    default=SteppingController.WALK_SRB.w_orient)
-    ap.add_argument("--w_tan", type=float,
-                    default=SteppingController.WALK_SRB.w_force_tangent)
-    ap.add_argument("--yaw_ant", type=float, default=GaitConfig.yaw_anticipate)
-    ap.add_argument("--duty_turn", type=float,
-                    default=GaitConfig.duty_turn_gain)
+    ap.add_argument("--w_omega", type=float, default=None)
+    ap.add_argument("--w_orient", type=float, default=None)
+    ap.add_argument("--w_tan", type=float, default=None)
+    ap.add_argument("--yaw_ant", type=float, default=None)
+    ap.add_argument("--duty_turn", type=float, default=None)
     ap.add_argument("--trace_env", type=int, default=0)
-    ap.add_argument("--err_gain", type=float,
-                    default=GaitConfig.period_err_gain)
-    ap.add_argument("--step_reach", type=float,
-                    default=GaitConfig.step_reach)
+    ap.add_argument("--err_gain", type=float, default=None)
+    ap.add_argument("--step_reach", type=float, default=None)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--heading", type=float, default=None,
                     help="heading-mode: commanded yaw [rad] (wz arg ignored)")
@@ -122,29 +115,17 @@ def main():
                     help="robot with a tuned stack (mpc.gait.make_controller)")
     args = ap.parse_args()
 
-    quad = args.robot != "pointfoot"
     model = get_model(args.robot)
-    # flag values that differ from the biped defaults are overrides on
-    # top of the robot's tuned stack (mpc.gait.make_controller); a flag
-    # left at its default defers to the tuned per-robot value
-    _flag_defaults = dict(
-        period=0.34, duty=0.55, k_raibert=0.25, kp_cart=300.0,
-        y_off=0.06, k_int=0.12, kd_cart=12.0, swing_height=0.05,
-        yaw_anticipate=GaitConfig.yaw_anticipate,
-        duty_turn_gain=GaitConfig.duty_turn_gain,
-        period_err_gain=GaitConfig.period_err_gain,
-        step_reach=GaitConfig.step_reach)
-    _flag_vals = dict(
+    # flags default to None = "defer to the robot's tuned stack"
+    # (mpc.gait.make_controller); an explicitly passed value overrides
+    # the tuned default, including when it happens to equal it
+    gkw = {k: v for k, v in dict(
         period=args.period, duty=args.duty, k_raibert=args.k_raibert,
         kp_cart=args.kp_cart, y_off=args.y_off, k_int=args.k_int,
         kd_cart=args.kd_cart, swing_height=args.swing_height,
         yaw_anticipate=args.yaw_ant, duty_turn_gain=args.duty_turn,
-        period_err_gain=args.err_gain, step_reach=args.step_reach)
-    if quad:
-        gkw = {k: v for k, v in _flag_vals.items()
-               if v != _flag_defaults[k]}
-    else:
-        gkw = _flag_vals
+        period_err_gain=args.err_gain,
+        step_reach=args.step_reach).items() if v is not None}
     spawn_xyz = None
     if args.terrain.startswith("grid"):
         # the real curriculum TerrainGrid (pointfoot_rough dims): walk one
@@ -163,7 +144,7 @@ def main():
     skw = {k: v for k, v in (("w_omega", args.w_omega),
                              ("w_orient", args.w_orient),
                              ("w_force_tangent", args.w_tan))
-           if v != getattr(SteppingController.WALK_SRB, k)}
+           if v is not None}
     stack = make_controller(
         args.robot, gait_overrides=gkw, srb_overrides=skw,
         height_fn=None if args.terrain in ("", "flat") else hfn)
@@ -173,7 +154,10 @@ def main():
     # rate — at 50 Hz the swing-leg reaction moment develops a ~0.3 rad
     # pitch offset between plan refreshes (see make_controller)
     ctrl_dt, substeps = stack.ctrl_dt, stack.substeps
-    ticks = args.ticks * (4 if quad else 1)
+    # --ticks is in 50 Hz-equivalent units so durations are comparable
+    # across robots regardless of each stack's control rate
+    ticks_per_50hz = max(1, round(0.02 / ctrl_dt))
+    ticks = args.ticks * ticks_per_50hz
     phys = PhysicsState.default(model, q0, batch=(args.b,),
                                 base_height=z0)
     if spawn_xyz is not None:
@@ -219,7 +203,7 @@ def main():
     # dense trace of env 0 around the first fall
     e = min(args.trace_env, args.b - 1)
     t_end = int(first_fall[e]) + 10
-    for t in range(0, min(t_end, ticks), 2 * (4 if quad else 1)):
+    for t in range(0, min(t_end, ticks), 2 * ticks_per_50hz):
         fz_s = ",".join(f"{v:5.1f}" for v in tr['fz'][t, e])
         fy_s = ",".join(f"{v:+.3f}" for v in tr['foot_y'][t, e])
         fzp_s = ",".join(f"{v:.3f}" for v in tr['foot_z'][t, e])

@@ -44,7 +44,8 @@ def main():
                          "(terrain/analytic.py), e.g. wave:0.04")
     ap.add_argument("--robot", type=str, default="pointfoot",
                     help="gait mode: robot with a tuned stack "
-                         "(pointfoot | a1)")
+                         "(pointfoot | a1 | anymal_b | anymal_c | "
+                         "cassie)")
     args = ap.parse_args()
 
     from pointfoot_tpu.utils.visualizer import render_rollout

@@ -339,27 +339,17 @@ def test_quadruped_trots_closed_loop():
     swing-leg reaction moment develops a ~0.3 rad pitch offset between
     plan refreshes regardless of the SRB inertia model; at 200 Hz the
     whole-robot inertia walks with max tilt ~0.08 (scripts/gait_diag.py
-    --robot a1)."""
+    --robot a1).  Pins the make_controller("a1") factory entry — the
+    config scripts and users actually consume."""
+    from pointfoot_tpu.mpc.gait import make_controller
     from pointfoot_tpu.physics import dynamics
 
     FLAT = lambda x, y: jnp.zeros_like(jnp.asarray(x, jnp.float32))
-    model = get_model("a1")
-    params = PhysicsParams.nominal(model)
-    feet = model.collision_indices("foot")
-    q0 = np.zeros(model.nj)
-    for i, nm in enumerate(model.joint_names):
-        q0[i] = {"thigh": 0.9, "calf": -1.8}.get(nm.split("_")[1], 0.0)
-    z0 = 0.2662
-    gcfg = GaitConfig(anchor="hip", horizon_schedule=True, k_raibert=0.166,
-                      swing_height=0.06, kp_cart=600.0, kd_cart=20.0,
-                      k_int=0.0)
-    srb = SRBConfig(height_target=z0, w_force_tangent=3e-3, f_max=200.0,
-                    w_orient=100.0, w_omega=5.0)
-    ctrl = SteppingController(model, params, feet, q0, srb_cfg=srb,
-                              gait_cfg=gcfg, dt=0.005,
-                              offsets=(0.0, 0.5, 0.5, 0.0))
+    stack = make_controller("a1")
+    ctrl, model, params = stack.ctrl, stack.ctrl.model, stack.ctrl.params
     B = 2
-    phys = PhysicsState.default(model, q0, batch=(B,), base_height=z0)
+    phys = PhysicsState.default(model, stack.q0, batch=(B,),
+                                base_height=stack.z0)
     gait = ctrl.init(B, phys)
     cmd = jnp.broadcast_to(jnp.asarray([0.4, 0.0, 0.0]), (B, 3))
 
@@ -393,28 +383,17 @@ def test_quadruped_turns_on_terrain():
     (height_fn) is identical to the biped path; also validated via
     scripts/gait_diag.py --robot a1: 15% slopes and +/-5 cm steps at
     vx 0.4 (vx 0.6 on a 15% slope falls ~2.8 s — past the edge)."""
+    from pointfoot_tpu.mpc.gait import make_controller
     from pointfoot_tpu.physics import dynamics
     from pointfoot_tpu.terrain.analytic import make_terrain
     from pointfoot_tpu.ops import quat as quat_ops
 
     hfn = make_terrain("wave:0.04")
-    model = get_model("a1")
-    params = PhysicsParams.nominal(model)
-    feet = model.collision_indices("foot")
-    q0 = np.zeros(model.nj)
-    for i, nm in enumerate(model.joint_names):
-        q0[i] = {"thigh": 0.9, "calf": -1.8}.get(nm.split("_")[1], 0.0)
-    z0 = 0.2662
-    gcfg = GaitConfig(anchor="hip", horizon_schedule=True, k_raibert=0.166,
-                      swing_height=0.06, kp_cart=600.0, kd_cart=20.0,
-                      k_int=0.0)
-    srb = SRBConfig(height_target=z0, w_force_tangent=3e-3, f_max=200.0,
-                    w_orient=100.0, w_omega=5.0)
-    ctrl = SteppingController(model, params, feet, q0, srb_cfg=srb,
-                              gait_cfg=gcfg, dt=0.005, height_fn=hfn,
-                              offsets=(0.0, 0.5, 0.5, 0.0))
+    stack = make_controller("a1", height_fn=hfn)
+    ctrl, model, params = stack.ctrl, stack.ctrl.model, stack.ctrl.params
     B = 2
-    phys = PhysicsState.default(model, q0, batch=(B,), base_height=z0)
+    phys = PhysicsState.default(model, stack.q0, batch=(B,),
+                                base_height=stack.z0)
     gait = ctrl.init(B, phys)
     cmd = jnp.broadcast_to(jnp.asarray([0.4, 0.0, 0.5]), (B, 3))
 
