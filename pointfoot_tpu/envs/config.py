@@ -241,6 +241,17 @@ class AlgorithmCfg:
     # and the next updates destroy the policy. 1e-3 keeps long runs stable.
     max_lr: float = 1e-3
     min_lr: float = 1e-5
+    # exploration-noise rails: log_std is projected into this range after
+    # every SGD step.  Observed failure mode (anymal_c_flat, 512 envs,
+    # only_positive_rewards): with the clipped total reward identically 0,
+    # per-minibatch advantage normalization yields 0/eps = 0 and the ONLY
+    # surviving gradient is the entropy bonus, which inflates noise_std
+    # without bound (1.0 -> 247 over 1.5k iters) — pure-noise policy, run
+    # dead.  rsl_rl v1.x has the same hole (IsaacLab's 2.x added a clamp);
+    # the rails are generous enough that healthy runs never touch them
+    # (pointfoot converges with std < 1)
+    max_noise_std: float = 3.0
+    min_noise_std: float = 0.01
 
 
 @dataclass(frozen=True)

@@ -162,6 +162,14 @@ class PPO:
         updates, new_opt = self.tx.update(grads, ts.opt_state, ts.params)
         updates = jax.tree.map(lambda u: u * ts.learning_rate, updates)
         new_params = optax.apply_updates(ts.params, updates)
+        # exploration-noise rails (cfg.max/min_noise_std): see
+        # AlgorithmCfg — prevents the entropy-only runaway when the
+        # clipped reward is identically zero
+        log_std = jnp.clip(new_params["params"]["log_std"],
+                           jnp.log(cfg.min_noise_std),
+                           jnp.log(cfg.max_noise_std))
+        new_params = dict(new_params)
+        new_params["params"] = dict(new_params["params"], log_std=log_std)
         lr = ts.learning_rate
         if cfg.schedule == "adaptive":
             lr = jnp.where(metrics["kl"] > cfg.desired_kl * 2.0,
