@@ -13,6 +13,10 @@ batched small-matrix kernels for the factorizations (ops/pallas/).
 from pointfoot_tpu.mpc.ilqr import ILQRConfig, ilqr_solve
 from pointfoot_tpu.mpc.costs import pointfoot_stage_cost, CostWeights
 from pointfoot_tpu.mpc.controller import MPCController
+from pointfoot_tpu.mpc.gait import (
+    GaitConfig, SteppingController, TunedStack, heading_command,
+    make_controller)
 
 __all__ = ["ILQRConfig", "ilqr_solve", "pointfoot_stage_cost", "CostWeights",
-           "MPCController"]
+           "MPCController", "GaitConfig", "SteppingController", "TunedStack",
+           "heading_command", "make_controller"]
