@@ -230,7 +230,7 @@ class TunedStack(NamedTuple):
 
 
 def make_controller(robot: str, height_fn=None, gait_overrides=None,
-                    srb_overrides=None) -> TunedStack:
+                    srb_overrides=None, gait: str = "trot") -> TunedStack:
     """Tuned gait-MPC stack for a named robot.
 
     Encapsulates the validated per-robot configuration (gains, gait
@@ -265,6 +265,15 @@ def make_controller(robot: str, height_fn=None, gait_overrides=None,
 
     `gait_overrides` / `srb_overrides` are dicts merged over the tuned
     defaults (e.g. {"period": 0.3}).
+
+    `gait` selects the footfall pattern for quadrupeds: "trot"
+    (diagonal pairs, the tuned default) or "walk" (4-beat lateral
+    sequence FR-RL-FL-RR at duty 0.8 — statically stable, slower, tilt
+    ~0.09 vs the trot's 0.08, tracks ~60% at vx 0.4/0.6).  "pace" and
+    "bound" were probed and fall within ~0.3 s — they need
+    gait-specific roll/pitch momentum work the Raibert stack does not
+    have; rejected rather than shipped broken.  Bipeds accept only the
+    default alternating gait.
     """
     from pointfoot_tpu.physics.assets import get_model
     import numpy as np
@@ -322,6 +331,18 @@ def make_controller(robot: str, height_fn=None, gait_overrides=None,
         raise ValueError(f"no tuned gait stack for {robot!r} "
                          "(have: pointfoot, a1, anymal_b, anymal_c, "
                          "cassie)")
+    if gait != "trot":
+        if offsets is None:
+            raise ValueError(f"gait={gait!r} needs a quadruped; "
+                             f"{robot} uses the default alternating gait")
+        if gait == "walk":
+            # 4-beat lateral sequence in the robot's (front-R, front-L,
+            # rear-R, rear-L)-equivalent foot order; long double support
+            offsets = (0.0, 0.5, 0.75, 0.25)
+            gkw.update(duty=0.8, period=0.6)
+        else:
+            raise ValueError(f"unknown quadruped gait {gait!r} "
+                             "(have: trot, walk)")
     gkw.update(gait_overrides or {})
     skw.update(srb_overrides or {})
     ctrl = SteppingController(model, PhysicsParams.nominal(model), feet,

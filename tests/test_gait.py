@@ -493,3 +493,41 @@ def test_cassie_walks_closed_loop():
     assert zs.min() > 0.47, f"fell: min z {zs.min()}"
     vx_ss = vxs[600:].mean()
     assert vx_ss > 1.14, f"undertracks: {vx_ss}"
+
+
+@pytest.mark.slow
+def test_quadruped_walk_gait():
+    """The 4-beat lateral-sequence walk (make_controller(..., gait="walk"),
+    duty 0.8 — one foot in the air at a time): A1 walks 5 s at cmd 0.4
+    with zero falls.  Slower tracking than the trot by design; pace and
+    bound are deliberately NOT offered (they fall in ~0.3 s without
+    gait-specific momentum control — see the factory docstring)."""
+    from pointfoot_tpu.mpc.gait import make_controller
+    from pointfoot_tpu.physics import dynamics
+
+    FLAT = lambda x, y: jnp.zeros_like(jnp.asarray(x, jnp.float32))
+    stack = make_controller("a1", gait="walk")
+    ctrl, model, params = stack.ctrl, stack.ctrl.model, stack.ctrl.params
+    B = 2
+    phys = PhysicsState.default(model, stack.q0, batch=(B,),
+                                base_height=stack.z0)
+    gait = ctrl.init(B, phys)
+    cmd = jnp.broadcast_to(jnp.asarray([0.4, 0.0, 0.0]), (B, 3))
+
+    def sub(carry, _):
+        p, g = carry
+        tau, g = ctrl.control(p, cmd, g)
+        p = jax.vmap(lambda s, t: dynamics.step(
+            model, params, s, t, FLAT, 0.005))(p, tau)
+        return (p, g), (p.base_pos[:, 2], p.base_lin_vel[:, 0])
+
+    (phys, gait), (zs, vxs) = jax.lax.scan(
+        sub, (phys, gait), None, length=1000)
+    zs, vxs = np.asarray(zs), np.asarray(vxs)
+    assert zs.min() > 0.15, f"fell: min z {zs.min()}"
+    assert vxs[600:].mean() > 0.18, vxs[600:].mean()
+
+    with pytest.raises(ValueError):
+        make_controller("pointfoot", gait="walk")
+    with pytest.raises(ValueError):
+        make_controller("a1", gait="bound")
