@@ -519,19 +519,31 @@ class LeggedEnv:
         feet_force = contact_force[:, jnp.asarray(self.feet_idx), :]
 
         # --- feet state machinery (PF:1114-1129) ---
+        # Order parity with the reference: it zeroes feet_air_time with the
+        # PREVIOUS step's contact filter BEFORE computing first_contact, so
+        # a continuously standing foot keeps air_time 0 and never fires
+        # first_contact.  The equivalent single-pass form carries air_time
+        # already zeroed-on-contact: first_contact fires only for a foot
+        # that actually accumulated swing time, and the reward-visible
+        # value is air_old + dt (what the reference's post-increment
+        # reward reads).  The previous ordering here zeroed FIRST and
+        # added dt after, so standing feet carried air_time == dt and
+        # fired first_contact EVERY step — a large spurious standing
+        # penalty through the feet_air_time band (pointfoot) / step bonus
+        # (legged family), and last_* latches overwritten every step.
         contact = feet_force[..., 2] > 1.0
         contact_filt = contact | state.last_contacts
         first_contact = (state.feet_air_time > 0.0) & contact_filt
+        air_for_reward = state.feet_air_time + self.dt
         last_feet_air_time = jnp.where(
-            first_contact, state.feet_air_time, state.last_feet_air_time)
-        feet_air_time = state.feet_air_time * (1.0 - contact_filt)
+            first_contact, air_for_reward, state.last_feet_air_time)
+        feet_air_time = air_for_reward * (1.0 - contact_filt)
         feet_height = self._feet_heights(foot_pos)
         last_max_feet_height = jnp.where(
             first_contact, state.current_max_feet_height,
             state.last_max_feet_height)
         current_max_feet_height = jnp.maximum(
             state.current_max_feet_height * (1.0 - contact_filt), feet_height)
-        feet_air_time = feet_air_time + self.dt
         state = state.replace(
             feet_air_time=feet_air_time,
             last_feet_air_time=last_feet_air_time,
@@ -594,6 +606,7 @@ class LeggedEnv:
             measured_heights=measured_heights, foot_pos=foot_pos,
             feet_force=feet_force, contact_force=contact_force,
             first_contact=first_contact, contact_filt=contact_filt,
+            feet_air_time=air_for_reward,  # pre-zeroing, = ref post-+dt
             done=done, time_out=time_out, state=state,
         )
         reward, term_values = self._compute_reward(ctx)
@@ -1018,14 +1031,17 @@ def _reward_feet_air_time(env, ctx):
     (LR:867-876)."""
     st = ctx["state"]
     fc = ctx["first_contact"].astype(jnp.float32)
+    # the accumulated swing time at touchdown (ctx value, NOT the stored
+    # state leaf, which is already zeroed for feet in contact)
+    air = ctx["feet_air_time"]
     if env.cfg.obs_style == "legged":
-        rew = jnp.sum((st.feet_air_time - 0.5) * fc, axis=-1)
+        rew = jnp.sum((air - 0.5) * fc, axis=-1)
         return rew * (jnp.linalg.norm(st.commands[:, :2], axis=-1) > 0.1)
     below = jnp.sum(
-        jnp.minimum(st.feet_air_time - env.cfg.rewards.min_feet_air_time, 0.0)
+        jnp.minimum(air - env.cfg.rewards.min_feet_air_time, 0.0)
         * fc, axis=-1)
     above = jnp.sum(
-        jnp.minimum(env.cfg.rewards.max_feet_air_time - st.feet_air_time, 0.0)
+        jnp.minimum(env.cfg.rewards.max_feet_air_time - air, 0.0)
         * fc, axis=-1)
     return below + above
 

@@ -182,6 +182,7 @@ class TestRewardGoldenValues:
             contact_force=state.physics.contact_force,
             first_contact=jnp.zeros((B_, 2), bool),
             contact_filt=jnp.zeros((B_, 2), bool),
+            feet_air_time=state.feet_air_time + env.dt,
             done=jnp.zeros(B_, bool),
             time_out=jnp.zeros(B_, bool),
             state=state,
@@ -225,20 +226,19 @@ class TestRewardGoldenValues:
         state = env.init_state(jax.random.PRNGKey(11))
         fc = jnp.zeros((B, 2), bool).at[:, 0].set(True)
         # air time 0.4 in [0.25, 0.65] -> no penalty
-        state_ok = state.replace(
-            feet_air_time=jnp.full((B, 2), 0.4))
         r = REWARD_FNS["feet_air_time"](
-            env, self._ctx(env, state_ok, first_contact=fc))
+            env, self._ctx(env, state, first_contact=fc,
+                           feet_air_time=jnp.full((B, 2), 0.4)))
         np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-6)
         # air time 0.1 -> below-min penalty = 0.1-0.25 = -0.15
-        state_lo = state.replace(feet_air_time=jnp.full((B, 2), 0.1))
         r2 = REWARD_FNS["feet_air_time"](
-            env, self._ctx(env, state_lo, first_contact=fc))
+            env, self._ctx(env, state, first_contact=fc,
+                           feet_air_time=jnp.full((B, 2), 0.1)))
         np.testing.assert_allclose(np.asarray(r2), -0.15, atol=1e-6)
         # air time 1.0 -> above-max penalty = 0.65-1.0 = -0.35
-        state_hi = state.replace(feet_air_time=jnp.full((B, 2), 1.0))
         r3 = REWARD_FNS["feet_air_time"](
-            env, self._ctx(env, state_hi, first_contact=fc))
+            env, self._ctx(env, state, first_contact=fc,
+                           feet_air_time=jnp.full((B, 2), 1.0)))
         np.testing.assert_allclose(np.asarray(r3), -0.35, atol=1e-5)
 
     def test_feet_distance_penalty(self, flat_env):
@@ -388,3 +388,37 @@ def test_every_registered_task_has_live_joints():
             f"{name}: joints frozen (max |dq| = {moved:.4f} after 10 "
             f"steps of 0.5-scaled actions) — asset limits or actuation "
             f"path broken")
+
+
+@pytest.mark.slow
+def test_standing_feet_never_fire_first_contact():
+    """Feet in continuous contact must keep feet_air_time == 0 and never
+    fire first_contact (reference zeroes air time with the previous
+    step's contact filter BEFORE the first_contact check,
+    point_foot.py:1114-1129).  The old ordering here zeroed first and
+    +dt after, so standing feet carried air_time == dt and fired
+    first_contact EVERY step — a constant spurious feet_air_time
+    penalty for standing/slow gaits in every training run.  Uses the
+    PD quadruped (a zero-action pointfoot tips over; its feet genuinely
+    swing)."""
+    from pointfoot_tpu.utils.registry import task_registry
+
+    env = task_registry.make_env(
+        "anymal_c_flat", num_envs=4,
+        cfg_patch=dict(noise=dict(add_noise=False),
+                       domain_rand=dict(push_robots=False),
+                       control=dict(use_actuator_network=False)))
+    state = env.init_state(jax.random.PRNGKey(3))
+    step = jax.jit(env.step)
+    a = jnp.zeros((4, env.num_actions))
+    for _ in range(25):  # let the spawn transient settle into contact
+        state, out = step(state, a)
+    sums0 = np.asarray(state.episode_sums)
+    air_idx = env.reward_names.index("feet_air_time")
+    for _ in range(20):
+        state, out = step(state, a)
+    # stored air time for grounded feet stays exactly 0
+    assert np.all(np.asarray(state.feet_air_time) <= env.dt + 1e-6)
+    # and the air-time reward accumulates NOTHING while standing
+    d = np.asarray(state.episode_sums)[:, air_idx] - sums0[:, air_idx]
+    np.testing.assert_allclose(d, 0.0, atol=1e-6)
