@@ -31,6 +31,14 @@ NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
 TIMED_ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 STEPS_PER_ITER = int(os.environ.get("BENCH_SCAN", "24"))
 MODE = os.environ.get("BENCH_MODE", "env")
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+# measurement conditions recorded into the output JSON (set in __main__):
+# whether this repo's own background trainer was quiesced for the run —
+# BENCH_r02 measured 0.735x real-time purely because a concurrent trainer
+# was time-slicing the single chip (its own metrics.jsonl logged 236k
+# steps/s at the same wall-clock).
+CONDITIONS = {"trainer": "unknown"}
 
 
 def main_mpc():
@@ -209,21 +217,28 @@ def main(task="pointfoot_rough"):
     state, rew = run(state, key)
     jax.block_until_ready(rew)
 
-    t0 = time.perf_counter()
-    for i in range(TIMED_ITERS):
-        key, k = jax.random.split(key)
-        state, rew = run(state, k)
-    jax.block_until_ready(rew)
-    elapsed = time.perf_counter() - t0
-
-    total_env_steps = NUM_ENVS * STEPS_PER_ITER * TIMED_ITERS
-    steps_per_sec = total_env_steps / elapsed
+    # median of REPS independent timing reps: a single rep is vulnerable to
+    # transient tunnel contention; the per-rep values go into the JSON so a
+    # contended run is visible rather than silently averaged in.
+    per_iter_steps = NUM_ENVS * STEPS_PER_ITER
+    reps = []
+    for _ in range(max(REPS, 1)):
+        t0 = time.perf_counter()
+        for i in range(TIMED_ITERS):
+            key, k = jax.random.split(key)
+            state, rew = run(state, k)
+        jax.block_until_ready(rew)
+        elapsed = time.perf_counter() - t0
+        reps.append(per_iter_steps * TIMED_ITERS / elapsed)
+    steps_per_sec = sorted(reps)[len(reps) // 2]
     realtime = NUM_ENVS * 50.0  # 50 Hz policy rate (reference control rate)
     print(json.dumps({
         "metric": f"env_steps_per_sec@{NUM_ENVS}envs_{task}",
         "value": round(steps_per_sec, 1),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / realtime, 3),
+        "conditions": {**CONDITIONS,
+                       "reps_steps_per_sec": [round(r, 1) for r in reps]},
     }))
 
 
@@ -262,6 +277,13 @@ def _tunnel_guard():
 
 if __name__ == "__main__":
     _tunnel_guard()
+    # Quiesce this repo's own background trainer (scripts/train_queue.sh):
+    # take the bench lock; a live trainer drains its queued device work,
+    # acks, and sleeps until we exit (pointfoot_tpu/utils/benchlock.py).
+    from pointfoot_tpu.utils import benchlock
+
+    CONDITIONS["trainer"] = benchlock.quiesce(
+        timeout_s=float(os.environ.get("BENCH_QUIESCE_TIMEOUT_S", "300")))
     if MODE == "mpc":
         main_mpc()
     elif MODE == "mpc_ilqr":

@@ -283,7 +283,20 @@ class OnPolicyRunner:
 
         t_start = time.time()
         steps_per_iter = self.cfg.runner.num_steps_per_env * self.env.num_envs
+        # bench handshake: register as the live trainer; each iteration
+        # checks the bench lock (one stat() on the fast path) and pauses —
+        # after draining queued device work — while bench.py measures.
+        # Paused time is subtracted from the steps/s clock.
+        from pointfoot_tpu.utils import benchlock
+        if jax.process_index() == 0:
+            benchlock.trainer_register()
+        last_metrics = None
         for it in range(num_iterations):
+            paused = benchlock.trainer_heartbeat(
+                drain=(None if last_metrics is None
+                       else lambda: jax.block_until_ready(last_metrics)))
+            if paused:
+                t_start += paused
             key, k_it = jax.random.split(key)
             if self.recurrent:
                 (train_state, env_state, obs, priv_obs, carry,
@@ -293,6 +306,7 @@ class OnPolicyRunner:
                 train_state, env_state, obs, priv_obs, metrics = \
                     self._jit_iter(train_state, env_state, obs, priv_obs,
                                    k_it)
+            last_metrics = metrics
             self.current_iteration += 1
             host0 = jax.process_index() == 0  # host-0 logging (SURVEY.md §5)
             if ((it % log_every == 0) or it == num_iterations - 1) and host0:
@@ -306,6 +320,7 @@ class OnPolicyRunner:
                 self.save(train_state, env_state)
         if self.log_dir and jax.process_index() == 0:
             self.save(train_state, env_state)
+        benchlock.trainer_unregister()
         return train_state, env_state
 
     # ----------------------------------------------------------- logging

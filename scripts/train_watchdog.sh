@@ -62,6 +62,11 @@ while true; do
     if [ "$mt" -lt "$LAUNCH_TS" ]; then
       mt=$LAUNCH_TS
     fi
+    # a bench holds .bench_lock while the trainer deliberately pauses
+    # (utils/benchlock.py) — that is not a hang; reset the staleness clock
+    if [ -e "$(dirname "$0")/../.bench_lock" ]; then
+      mt=$now
+    fi
     if [ $((now - mt)) -gt "$STALE_S" ]; then
       echo "[watchdog] metrics stale $((now - mt))s — killing $PID"
       kill "$PID" 2>/dev/null
