@@ -34,12 +34,35 @@ def _lock_path() -> str:
         "POINTFOOT_BENCH_LOCK", os.path.join(_REPO_ROOT, ".bench_lock"))
 
 
-def _ack_path() -> str:
-    return _lock_path() + ".ack"
+def _ack_path(pid: int = None) -> str:
+    # per-pid: several trainers can coexist (e.g. a short verify run next
+    # to the long background queue); each acks independently
+    return f"{_lock_path()}.ack.{pid if pid is not None else os.getpid()}"
 
 
-def _alive_path() -> str:
-    return _lock_path() + ".trainer"
+def _alive_path(pid: int = None) -> str:
+    return f"{_lock_path()}.trainer.{pid if pid is not None else os.getpid()}"
+
+
+def _registered_trainers() -> list:
+    """Live registered trainer pids; stale registrations are reaped."""
+    import glob
+
+    pids = []
+    for p in glob.glob(_lock_path() + ".trainer.*"):
+        try:
+            pid = int(p.rsplit(".", 1)[-1])
+        except ValueError:
+            continue
+        if _pid_alive(pid):
+            pids.append(pid)
+        else:
+            try:
+                os.remove(p)
+                os.remove(_ack_path(pid))
+            except OSError:
+                pass
+    return pids
 
 
 def _pid_alive(pid: int) -> bool:
@@ -75,8 +98,7 @@ def trainer_register() -> None:
 def trainer_unregister() -> None:
     for p in (_alive_path(), _ack_path()):
         try:
-            if _read_pid(p) == os.getpid():
-                os.remove(p)
+            os.remove(p)
         except OSError:
             pass
 
@@ -108,8 +130,7 @@ def trainer_heartbeat(drain=None) -> float:
     while os.path.exists(lock) and time.time() - t0 < max_pause_s:
         time.sleep(0.5)
     try:
-        if _read_pid(ack) == os.getpid():
-            os.remove(ack)
+        os.remove(ack)
     except OSError:
         pass
     return time.time() - t0
@@ -133,11 +154,11 @@ def quiesce(timeout_s: float = 300.0) -> str:
     atexit.register(release)
     deadline = time.time() + timeout_s
     while time.time() < deadline:
-        if os.path.exists(_ack_path()):
-            return "trainer_paused"
-        pid = _read_pid(_alive_path())
-        if pid == 0 or not _pid_alive(pid):
+        trainers = _registered_trainers()
+        if not trainers:
             return "no_trainer"
+        if all(os.path.exists(_ack_path(p)) for p in trainers):
+            return "trainer_paused"
         time.sleep(1.0)
     return "timeout_no_ack"
 

@@ -23,7 +23,7 @@ def lockdir(tmp_path, monkeypatch):
 
 def test_heartbeat_fast_path_without_lock(lockdir):
     assert benchlock.trainer_heartbeat() == 0.0
-    assert not os.path.exists(lockdir + ".ack")
+    assert not os.path.exists(lockdir + f".ack.{os.getpid()}")
 
 
 def test_quiesce_no_trainer(lockdir):
@@ -48,16 +48,16 @@ def test_trainer_pauses_until_release(lockdir):
     t = threading.Thread(target=trainer)
     t.start()
     deadline = time.time() + 10
-    while not os.path.exists(lockdir + ".ack") and time.time() < deadline:
+    while not os.path.exists(lockdir + f".ack.{os.getpid()}") and time.time() < deadline:
         time.sleep(0.05)
-    assert os.path.exists(lockdir + ".ack"), "trainer never acked"
+    assert os.path.exists(lockdir + f".ack.{os.getpid()}"), "trainer never acked"
     assert drained, "trainer must drain device work before acking"
     assert t.is_alive(), "trainer must stay paused while the lock is held"
     benchlock.release()
     t.join(timeout=10)
     assert not t.is_alive()
     assert paused_s and paused_s[0] > 0.0
-    assert not os.path.exists(lockdir + ".ack")
+    assert not os.path.exists(lockdir + f".ack.{os.getpid()}")
     benchlock.trainer_unregister()
 
 
