@@ -815,17 +815,26 @@ class LeggedEnv:
             # policy overfits easy terrain (observed: terrain_level 4.5 ->
             # 1.0 while tracking reward climbed).  Scale by the time the
             # episode actually ran instead.
-            ep_secs = state.episode_step.astype(jnp.float32) * self.dt
-            cmd_dist = (jnp.linalg.norm(state.commands[:, :2], axis=-1)
-                        * ep_secs * 0.5)
-            # demote on the along-command progress credit, not net
-            # displacement: a yaw command curls the path, so an arcing
-            # robot that tracks perfectly shows little displacement from
-            # origin and would be demoted for obeying its command
-            # (round-2 queue; see EnvState.cmd_progress).  Promotion stays
-            # displacement-based — crossing the terrain is what promotion
-            # measures, and an arc genuinely doesn't cross it.
-            move_down = (state.cmd_progress < cmd_dist) & ~move_up
+            if cfg.terrain.reference_exact_demotion:
+                # reference-exact A/B path (point_foot.py:627-631): required
+                # distance scaled by the FULL episode length regardless of
+                # when the episode ended; judged on net displacement.
+                ep_secs = jnp.full_like(dist, self.max_episode_length_s)
+                cmd_dist = (jnp.linalg.norm(state.commands[:, :2], axis=-1)
+                            * ep_secs * 0.5)
+                move_down = (dist < cmd_dist) & ~move_up
+            else:
+                ep_secs = state.episode_step.astype(jnp.float32) * self.dt
+                cmd_dist = (jnp.linalg.norm(state.commands[:, :2], axis=-1)
+                            * ep_secs * 0.5)
+                # demote on the along-command progress credit, not net
+                # displacement: a yaw command curls the path, so an arcing
+                # robot that tracks perfectly shows little displacement from
+                # origin and would be demoted for obeying its command
+                # (round-2 queue; see EnvState.cmd_progress).  Promotion
+                # stays displacement-based — crossing the terrain is what
+                # promotion measures, and an arc genuinely doesn't cross it.
+                move_down = (state.cmd_progress < cmd_dist) & ~move_up
             new_level = level + move_up.astype(jnp.int32) - move_down.astype(jnp.int32)
             rand_level = jax.random.randint(
                 k1, (B,), 0, self.terrain.num_levels)

@@ -51,6 +51,15 @@ class TerrainCfg:
     measure_heights: bool = True
     selected: bool = False
     selected_kwargs: dict = field(default_factory=dict)
+    # Curriculum-demotion semantics (PARITY.md quirks register):
+    #   False (default) — demotion requirement scaled by the seconds the
+    #     episode ACTUALLY ran and judged on along-command progress.  The
+    #     reference (point_foot.py:630) scales by the full episode length
+    #     even for early-terminated episodes, which over-demotes and traps
+    #     the batch at level ~1 under honest contact.
+    #   True — reference-exact: full-episode scaling, net-displacement
+    #     demotion test (for parity audits / A-B runs).
+    reference_exact_demotion: bool = False
 
 
 @struct.dataclass

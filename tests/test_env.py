@@ -422,3 +422,43 @@ def test_standing_feet_never_fire_first_contact():
     # and the air-time reward accumulates NOTHING while standing
     d = np.asarray(state.episode_sums)[:, air_idx] - sums0[:, air_idx]
     np.testing.assert_allclose(d, 0.0, atol=1e-6)
+
+
+def test_reference_exact_demotion_toggle():
+    """PARITY.md quirk #10: `terrain.reference_exact_demotion=true` restores
+    the reference's demotion rule (point_foot.py:627-631) — required
+    distance scaled by the FULL episode length even when the episode ended
+    early, judged on net displacement.  The default rule scales by actual
+    episode seconds, so an early-fallen robot that tracked perfectly while
+    alive keeps its level under the default and loses it under the flag."""
+    T = None
+    results = {}
+    for exact in (False, True):
+        env = task_registry.make_env(
+            "pointfoot_rough", num_envs=4,
+            cfg_patch=dict(terrain=dict(reference_exact_demotion=exact)))
+        state = env.init_state(jax.random.PRNGKey(0))
+        T = int(env.max_episode_length)
+        lvl = jnp.full((4,), 3, jnp.int32)
+        origin = env.terrain.env_origins[lvl, state.terrain_type]
+        # fell at T/4 having tracked vx=0.5 exactly: covered 0.5*(T/4)*dt m
+        steps = T // 4
+        covered = 0.5 * steps * env.dt  # 2.5 m for T=1000, dt=0.02
+        assert covered < env.terrain.terrain_length / 2  # below promotion
+        state = state.replace(
+            terrain_level=lvl, env_origin=origin,
+            physics=state.physics.replace(
+                base_pos=state.physics.base_pos.at[:, :2].set(
+                    origin[:, :2] + jnp.asarray([covered, 0.0]))),
+            commands=jnp.broadcast_to(
+                jnp.asarray([0.5, 0.0, 0.0, 0.0]), (4, 4)),
+            episode_step=jnp.full((4,), steps, jnp.int32),
+            cmd_progress=jnp.full((4,), covered),
+        )
+        new = env._reset_envs(state, jnp.ones(4, bool),
+                              jax.random.PRNGKey(1))
+        results[exact] = np.asarray(new.terrain_level)
+    # default: perfect-while-alive tracker keeps its level
+    assert (results[False] == 3).all(), results[False]
+    # reference-exact: full-episode scaling demotes it (2.5 m < 5 m required)
+    assert (results[True] == 2).all(), results[True]
