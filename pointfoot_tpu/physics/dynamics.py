@@ -351,6 +351,20 @@ def finish_step(
     )
 
     ang, lin, qvel = u_new[:3], u_new[3:6], u_new[6:]
+    # u_new's linear part is the SPATIAL velocity at the (old) base origin
+    # — the velocity solve advances it with the spatial acceleration.  The
+    # stored state velocity is the MATERIAL base-point velocity, and the
+    # two derivatives differ by the classical velocity-product term
+    # (Featherstone eq. 2.47: v̇_point = a_spatial + ω × v).  Omitting it
+    # leaked momentum whenever the base tumbled: a free-falling body with
+    # ω=(0.5,-0.8,0.3) showed CoM acceleration (0.44, 0.37, -10.45) m/s²
+    # instead of (0, 0, -9.81) — caught by
+    # tests/test_physics_invariants.py::test_ballistic_com_parabola.
+    # trapezoidal evaluation (midpoint ω, v across the step) — evaluating
+    # at the endpoint alone leaves an O(dt·ω·g) bias (~0.04 m/s² at |ω|=1)
+    ang_m = 0.5 * (state.base_ang_vel + ang)
+    lin_m = 0.5 * (state.base_lin_vel + lin)
+    lin = lin + dt * jnp.cross(ang_m, lin_m)
     qvel = jnp.clip(qvel, -model.velocity_limit, model.velocity_limit)
     pos = state.base_pos + dt * lin
     quat = quat_ops.integrate(state.base_quat, ang, dt)
