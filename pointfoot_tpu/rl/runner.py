@@ -314,11 +314,14 @@ class OnPolicyRunner:
                 elapsed = time.time() - t_start
                 sps = steps_per_iter * (it + 1) / max(elapsed, 1e-9)
                 self._log(self.current_iteration, m, sps)
-            if (self.cfg.runner.save_interval > 0 and self.log_dir and host0
+            # save() is a COLLECTIVE in multi-process runs (it all-gathers
+            # the cross-process-sharded env state before host-0 writes), so
+            # every process must enter it — the host-0 gate lives inside.
+            if (self.cfg.runner.save_interval > 0 and self.log_dir
                     and (self.current_iteration
                          % self.cfg.runner.save_interval == 0)):
                 self.save(train_state, env_state)
-        if self.log_dir and jax.process_index() == 0:
+        if self.log_dir:
             self.save(train_state, env_state)
         benchlock.trainer_unregister()
         return train_state, env_state
@@ -370,17 +373,34 @@ class OnPolicyRunner:
     # -------------------------------------------------------- checkpoints
 
     def save(self, train_state: TrainState, env_state) -> str:
-        """Orbax checkpoint of the FULL training state (SURVEY.md §5)."""
+        """Orbax checkpoint of the FULL training state (SURVEY.md §5).
+
+        Multi-process: the env state is sharded across processes, so a
+        host-0 `device_get` alone would raise (non-addressable shards).
+        All processes enter; a jitted identity with replicated
+        out_shardings all-gathers over the mesh (XLA collective over
+        ICI/DCN), then host 0 alone writes.  Single-process runs skip the
+        gather entirely.
+        """
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(
             self.log_dir, f"model_{self.current_iteration}"))
-        ckpt = ocp.PyTreeCheckpointer()
-        # device_get first: host-numpy checkpoints restore on any backend
+        state_tree = {"train_state": train_state, "env_state": env_state}
+        if jax.process_count() > 1 and self.mesh is not None:
+            from pointfoot_tpu.parallel.mesh import replicated
+
+            gather = jax.jit(lambda t: t,
+                             out_shardings=replicated(self.mesh))
+            state_tree = gather(state_tree)
+        # device_get: host-numpy checkpoints restore on any backend
         # (TPU-sharded saves otherwise refuse to restore on CPU)
-        payload = jax.device_get(
-            {"train_state": train_state, "env_state": env_state,
-             "iteration": self.current_iteration})
+        payload = jax.device_get(state_tree)
+        payload["iteration"] = self.current_iteration
+        # every process calls save(): orbax writes host-numpy payloads from
+        # the primary process only, but its completion barrier spans all
+        # processes — a host-0-gated call deadlocks the cluster
+        ckpt = ocp.PyTreeCheckpointer()
         ckpt.save(path, payload, force=True)
         return path
 
