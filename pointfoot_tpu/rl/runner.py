@@ -290,6 +290,10 @@ class OnPolicyRunner:
         from pointfoot_tpu.utils import benchlock
         if jax.process_index() == 0:
             benchlock.trainer_register()
+        # honor a bench lock BEFORE the first compile too: restore+compile
+        # runs minutes of device work during which the loop heartbeat can't
+        # fire, which previously left a quiescing bench in timeout_no_ack
+        benchlock.trainer_heartbeat()
         last_metrics = None
         for it in range(num_iterations):
             paused = benchlock.trainer_heartbeat(
