@@ -372,6 +372,7 @@ class LeggedEnv:
     def _height_fn(self):
         t = self.terrain
         fn = lambda x, y: t.height_at(x, y)
+        fn.is_flat = self.cfg.terrain.mesh_type == "plane"
         if self.cfg.terrain.mesh_type != "plane":
             # one-gather surface queries for contact (TerrainGrid.surface_at)
             fn.surface_fn = lambda x, y: t.surface_at(x, y)
@@ -419,12 +420,12 @@ class LeggedEnv:
                 tau = self._compute_torques(
                     actions, phys.qpos, phys.qvel, last_qvel, state.params)
             push = jnp.where(i == 0, state.push_force, jnp.zeros_like(state.push_force))
-            from pointfoot_tpu.ops.pallas.cholesky import chol_solve_best
-
+            # solver=None -> step_batched dispatches: substep mega-kernel on
+            # TPU at B>=1024, lane-batched Pallas Cholesky at B>=128, XLA
+            # unroll elsewhere (identical physics, tests pin all three)
             new_phys = dynamics.step_batched(
                 m, state.params, phys, tau, hf, sim_dt,
-                external_force=push, gravity=self.cfg.sim.gravity,
-                solver=chol_solve_best)
+                external_force=push, gravity=self.cfg.sim.gravity)
             return (new_phys, phys.qvel, act_carry), tau
 
         (phys, _, act_carry), taus = jax.lax.scan(

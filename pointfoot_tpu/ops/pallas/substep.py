@@ -1,0 +1,197 @@
+"""Physics substep as ONE lane-batched Pallas TPU kernel.
+
+docs/PROFILE_SUBSTEP.md: the XLA substep compiles to 81 fusions + 37
+custom-calls and is kernel-launch bound (wall-time flat in batch size up to
+4096 envs).  This kernel runs the ENTIRE substep — FK, CRBA, RNEA, contact,
+implicit Cholesky velocity solve, integration (physics/rowdyn.py) — as one
+straight-line program where every per-env scalar is an (8, 128) lane tile
+covering 1024 envs: every arithmetic op is a full-vreg VPU op and the only
+HBM traffic is state/params in, state out.
+
+Layout: all rows packed into one (R, 8, B/8) array (env e lives at sublane
+s = e // (B/8), lane l = e % (B/8); blocks take 128 lanes at a time, so one
+grid step processes 8x128 = 1024 envs).  Terrain enters as per-contact
+surface rows (height + normal, gathered OUTSIDE by the caller at foot
+positions computed from the same pre-step state); flat ground folds the
+surface to constants at trace time, which prunes most of the contact math.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pointfoot_tpu.physics import rowdyn
+from pointfoot_tpu.physics.model import PhysicsParams, PhysicsState
+
+import os
+
+_SUB = 8
+# lanes per row op: one (8, LANE) row = LANE/128 vregs; wider rows issue
+# multiple vregs back-to-back per op, hiding VPU latency on the long
+# dependency chains (Cholesky, RNEA accumulation) that dominate this
+# straight-line kernel.  Tunable for A/B: PALLAS_SUBSTEP_LANE.
+_LANE = int(os.environ.get("PALLAS_SUBSTEP_LANE", "512"))
+_BLOCK = _SUB * _LANE  # envs per grid step
+
+
+def _in_layout(nj: int, nc: int, has_surface: bool):
+    rows = [
+        ("base_pos", 3), ("base_quat", 4), ("base_lin_vel", 3),
+        ("base_ang_vel", 3), ("qpos", nj), ("qvel", nj), ("tau", nj),
+        ("ext_force", 3), ("friction", nc), ("joint_friction", nj),
+        ("added_mass", 1), ("com_offset", 3), ("k_contact", 1),
+        ("d_contact", 1),
+    ]
+    if has_surface:
+        rows += [("surf_h", nc), ("surf_n", 3 * nc)]
+    return rows
+
+
+def _out_layout(nj: int, nc: int):
+    return [
+        ("base_pos", 3), ("base_quat", 4), ("base_lin_vel", 3),
+        ("base_ang_vel", 3), ("qpos", nj), ("qvel", nj),
+        ("contact_force", 3 * nc),
+    ]
+
+
+def _kernel(mc: rowdyn.ModelConsts, dt: float, gravity: float,
+            has_surface: bool, in_ref, out_ref):
+    nj, nc = mc.nj, mc.nc
+    idx = {}
+    off = 0
+    for name, cnt in _in_layout(nj, nc, has_surface):
+        idx[name] = off
+        off += cnt
+
+    def row(name, i=0):
+        return in_ref[idx[name] + i]
+
+    st = {
+        "base_pos": [row("base_pos", i) for i in range(3)],
+        "base_quat": [row("base_quat", i) for i in range(4)],
+        "base_lin_vel": [row("base_lin_vel", i) for i in range(3)],
+        "base_ang_vel": [row("base_ang_vel", i) for i in range(3)],
+        "qpos": [row("qpos", j) for j in range(nj)],
+        "qvel": [row("qvel", j) for j in range(nj)],
+        "tau": [row("tau", j) for j in range(nj)],
+        "ext_force": [row("ext_force", i) for i in range(3)],
+        "friction": [row("friction", c) for c in range(nc)],
+        "joint_friction": [row("joint_friction", j) for j in range(nj)],
+        "added_mass": row("added_mass"),
+        "com_offset": [row("com_offset", i) for i in range(3)],
+        "k_contact": row("k_contact"),
+        "d_contact": row("d_contact"),
+    }
+    surface = None
+    if has_surface:
+        surface = [(row("surf_h", c),
+                    [row("surf_n", 3 * c + i) for i in range(3)])
+                   for c in range(nc)]
+
+    out = rowdyn.substep_rows(mc, st, dt, gravity, surface=surface)
+
+    o = 0
+    flat_out = (out["base_pos"] + out["base_quat"] + out["base_lin_vel"]
+                + out["base_ang_vel"] + out["qpos"] + out["qvel"]
+                + [f for fc in out["contact_force"] for f in fc])
+    ones = jnp.ones((_SUB, _LANE), jnp.float32)
+    for val in flat_out:
+        # constants (e.g. folded-away components) broadcast to the tile
+        out_ref[o] = val * ones if isinstance(val, (int, float)) else val
+        o += 1
+
+
+def substep_pallas(model, params: PhysicsParams, state: PhysicsState,
+                   joint_torque: jax.Array, dt: float,
+                   gravity: float = 9.81,
+                   external_force: Optional[jax.Array] = None,
+                   surface: Optional[Tuple[jax.Array, jax.Array]] = None,
+                   interpret: bool = False) -> PhysicsState:
+    """One batched substep via the mega-kernel.
+
+    `params` leaves are batched (B, ...) as in `dynamics.step_batched`;
+    `surface` is None (flat ground, z=0) or (heights (B, nc),
+    normals (B, nc, 3)) in world coordinates under each collision sphere.
+    """
+    mc = _model_consts(model)
+    nj, nc = mc.nj, mc.nc
+    B = state.base_pos.shape[0]
+    has_surface = surface is not None
+
+    cols = [
+        state.base_pos, state.base_quat, state.base_lin_vel,
+        state.base_ang_vel, state.qpos, state.qvel, joint_torque,
+        (external_force if external_force is not None
+         else jnp.zeros((B, 3), jnp.float32)),
+        params.friction, params.joint_friction,
+        params.added_mass[..., None], params.com_offset,
+        params.contact_stiffness[..., None], params.contact_damping[..., None],
+    ]
+    if has_surface:
+        h, n = surface
+        cols += [h, n.reshape(B, 3 * nc)]
+    x = jnp.concatenate([jnp.asarray(c, jnp.float32) for c in cols],
+                        axis=-1)  # (B, R_in)
+    R_in = x.shape[-1]
+    R_out = sum(cnt for _, cnt in _out_layout(nj, nc))
+
+    Bp = ((B + _BLOCK - 1) // _BLOCK) * _BLOCK
+    if Bp != B:
+        # pad with copies of env 0 (a valid state: no NaNs in the solve)
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (Bp - B, R_in))], axis=0)
+    rows_in = x.T.reshape(R_in, _SUB, Bp // _SUB)
+
+    kernel = functools.partial(_kernel, mc, float(dt), float(gravity),
+                               has_surface)
+    lanes = Bp // _SUB
+    out_rows = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R_out, _SUB, lanes), jnp.float32),
+        grid=(Bp // _BLOCK,),
+        in_specs=[pl.BlockSpec((R_in, _SUB, _LANE), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((R_out, _SUB, _LANE), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rows_in)
+
+    y = out_rows.reshape(R_out, Bp).T[:B]  # (B, R_out)
+    off = {}
+    o = 0
+    for name, cnt in _out_layout(nj, nc):
+        off[name] = (o, o + cnt)
+        o += cnt
+
+    def take(name):
+        a, b = off[name]
+        return y[:, a:b]
+
+    return PhysicsState(
+        base_pos=take("base_pos"),
+        base_quat=take("base_quat"),
+        base_lin_vel=take("base_lin_vel"),
+        base_ang_vel=take("base_ang_vel"),
+        qpos=take("qpos"),
+        qvel=take("qvel"),
+        contact_force=take("contact_force").reshape(B, nc, 3),
+    )
+
+
+_MC_CACHE = {}
+
+
+def _model_consts(model) -> rowdyn.ModelConsts:
+    key = id(model)
+    mc = _MC_CACHE.get(key)
+    if mc is None:
+        mc = rowdyn.ModelConsts(model)
+        _MC_CACHE[key] = mc
+    return mc

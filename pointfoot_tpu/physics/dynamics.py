@@ -25,6 +25,7 @@ named fields so no caller ever needs to know.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple, Tuple
 
 import jax
@@ -432,6 +433,36 @@ def step_batched(
 
     B = state.base_pos.shape[0]
     on_tpu = jax.devices()[0].platform == "tpu"
+    if (solver is None and on_tpu
+            and os.environ.get("POINTFOOT_MEGAKERNEL", "1") == "1"):
+        # substep mega-kernel (docs/PROFILE_SUBSTEP.md): the whole substep
+        # as ONE lane-batched Pallas kernel — 2.35x the XLA path on v5e at
+        # B=4096.  Terrain enters as surface rows gathered at the sphere
+        # positions of the SAME pre-step state (identical to what
+        # contact.contact_terms would query); flat ground folds the
+        # surface to trace-time constants.
+        from pointfoot_tpu.ops.pallas import substep as _substep
+
+        if B >= _substep._BLOCK:
+            surface = None
+            if not getattr(height_fn, "is_flat", False):
+                kin = jax.vmap(
+                    lambda s, p: forward_kinematics(model, s, p)
+                )(state, params)
+                xs, ys = [], []
+                for c in range(len(model.collision_body)):
+                    b = model.collision_body[c]
+                    pc = (kin.body_pos[:, b]
+                          + jnp.einsum("bij,j->bi", kin.body_rot[:, b],
+                                       model.collision_offset[c]))
+                    xs.append(pc[:, 0])
+                    ys.append(pc[:, 1])
+                h, n = contact_mod.query_surface(
+                    height_fn, jnp.stack(xs, 1), jnp.stack(ys, 1))
+                surface = (h, n)
+            return _substep.substep_pallas(
+                model, params, state, joint_torque, dt, gravity=gravity,
+                external_force=ext, surface=surface)
     if solver is None and on_tpu and B >= 128:
         from pointfoot_tpu.ops.pallas.cholesky import pallas_chol_solve_lanes
 
