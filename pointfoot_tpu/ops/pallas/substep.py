@@ -195,3 +195,50 @@ def _model_consts(model) -> rowdyn.ModelConsts:
         mc = rowdyn.ModelConsts(model)
         _MC_CACHE[key] = mc
     return mc
+
+
+def _fk_kernel(mc: rowdyn.ModelConsts, in_ref, out_ref):
+    nj = mc.nj
+    st = {
+        "base_pos": [in_ref[i] for i in range(3)],
+        "base_quat": [in_ref[3 + i] for i in range(4)],
+        "qpos": [in_ref[7 + j] for j in range(nj)],
+    }
+    xy = rowdyn.fk_contact_xy(mc, st)
+    ones = jnp.ones((_SUB, _LANE), jnp.float32)
+    o = 0
+    for c in range(mc.nc):
+        for v in xy[c]:
+            out_ref[o] = v * ones if isinstance(v, (int, float)) else v
+            o += 1
+
+
+def fk_contact_xy_pallas(model, state: PhysicsState,
+                         interpret: bool = False) -> jax.Array:
+    """(B, nc, 2) world xy of every collision sphere — the terrain-query
+    positions, as a single tiny Pallas kernel (replaces the launch-bound
+    XLA mini-FK; see docs/PROFILE_SUBSTEP.md)."""
+    mc = _model_consts(model)
+    B = state.base_pos.shape[0]
+    x = jnp.concatenate([state.base_pos, state.base_quat, state.qpos],
+                        axis=-1).astype(jnp.float32)  # (B, 7+nj)
+    R_in = x.shape[-1]
+    R_out = 2 * mc.nc
+    Bp = ((B + _BLOCK - 1) // _BLOCK) * _BLOCK
+    if Bp != B:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (Bp - B, R_in))], axis=0)
+    rows_in = x.T.reshape(R_in, _SUB, Bp // _SUB)
+    out_rows = pl.pallas_call(
+        functools.partial(_fk_kernel, mc),
+        out_shape=jax.ShapeDtypeStruct((R_out, _SUB, Bp // _SUB),
+                                       jnp.float32),
+        grid=(Bp // _BLOCK,),
+        in_specs=[pl.BlockSpec((R_in, _SUB, _LANE), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((R_out, _SUB, _LANE), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rows_in)
+    y = out_rows.reshape(R_out, Bp).T[:B]
+    return y.reshape(B, mc.nc, 2)

@@ -446,19 +446,11 @@ def step_batched(
         if B >= _substep._BLOCK:
             surface = None
             if not getattr(height_fn, "is_flat", False):
-                kin = jax.vmap(
-                    lambda s, p: forward_kinematics(model, s, p)
-                )(state, params)
-                xs, ys = [], []
-                for c in range(len(model.collision_body)):
-                    b = model.collision_body[c]
-                    pc = (kin.body_pos[:, b]
-                          + jnp.einsum("bij,j->bi", kin.body_rot[:, b],
-                                       model.collision_offset[c]))
-                    xs.append(pc[:, 0])
-                    ys.append(pc[:, 1])
+                # sphere query positions from a tiny positions-only FK
+                # kernel (the XLA mini-FK was itself launch-bound)
+                xy = _substep.fk_contact_xy_pallas(model, state)
                 h, n = contact_mod.query_surface(
-                    height_fn, jnp.stack(xs, 1), jnp.stack(ys, 1))
+                    height_fn, xy[..., 0], xy[..., 1])
                 surface = (h, n)
             return _substep.substep_pallas(
                 model, params, state, joint_torque, dt, gravity=gravity,

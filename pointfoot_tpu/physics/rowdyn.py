@@ -562,3 +562,31 @@ def substep_rows(mc: ModelConsts, st: Dict, dt: float, gravity: float,
         "qvel": qvel_new,
         "contact_force": contact_force,
     }
+
+
+def fk_contact_xy(mc: ModelConsts, st: Dict) -> List:
+    """World (x, y) of every collision sphere — positions-only FK.
+
+    The terrain surface gather (TerrainGrid.surface_at) happens OUTSIDE the
+    substep kernel; this is the cheap row-form FK that feeds it, replacing
+    an XLA mini-FK whose ~30 tiny kernels per substep were launch-bound
+    (docs/PROFILE_SUBSTEP.md).  `st` needs base_pos / base_quat / qpos only.
+    """
+    nb = mc.nb
+    R = [quat_to_mat(st["base_quat"])]
+    pos = [[0.0, 0.0, 0.0]]
+    for b in range(1, nb):
+        j = b - 1
+        p = mc.parent[b]
+        anch = v_add(pos[p], m_vec(R[p], mc.joint_pos[j]))
+        frame0 = m_mul(R[p], mc.joint_rot_mat[j])
+        R.append(m_mul(frame0, rodrigues_const_axis(mc.joint_axis[j],
+                                                    st["qpos"][j])))
+        pos.append(anch)
+    out = []
+    for c in range(mc.nc):
+        b = mc.collision_body[c]
+        p_rel = v_add(pos[b], m_vec(R[b], mc.collision_offset[c]))
+        out.append([fadd(st["base_pos"][0], p_rel[0]),
+                    fadd(st["base_pos"][1], p_rel[1])])
+    return out

@@ -97,3 +97,20 @@ def test_kernel_matches_step_batched_surface(rig):
                          external_force=ext, surface=surface,
                          interpret=True)
     _assert_close(got, ref)
+
+
+def test_fk_contact_xy_matches_forward_kinematics(rig):
+    from pointfoot_tpu.ops.pallas.substep import fk_contact_xy_pallas
+
+    model, params, state, tau, ext = rig
+    got = fk_contact_xy_pallas(model, state, interpret=True)
+    kin = jax.vmap(lambda s, p: dynamics.forward_kinematics(model, s, p)
+                   )(state, params)
+    nc = len(model.collision_body)
+    for c in range(nc):
+        b = model.collision_body[c]
+        p = (kin.body_pos[:, b]
+             + jnp.einsum("bij,j->bi", kin.body_rot[:, b],
+                          model.collision_offset[c]))
+        np.testing.assert_allclose(got[:, c], p[:, :2], atol=2e-5,
+                                   err_msg=f"sphere {c}")
