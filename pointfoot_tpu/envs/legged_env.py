@@ -406,6 +406,27 @@ class LeggedEnv:
         hf = self._height_fn()
         sim_dt = self.cfg.sim.dt
 
+        # fused row-layout rollout on TPU at large batch: one mega-kernel
+        # per substep with PD torque and FK-of-output inside; between
+        # substeps only the terrain surface gather runs in XLA
+        # (docs/PROFILE_SUBSTEP.md).  The scan path below stays the
+        # reference implementation everywhere else (tests pin equality).
+        import os as _os
+
+        from pointfoot_tpu.ops.pallas import substep as _substep
+
+        if (jax.devices()[0].platform == "tpu"
+                and self.num_envs >= _substep._BLOCK
+                and not self.use_actuator_net
+                and _os.environ.get("POINTFOOT_MEGAKERNEL", "1") == "1"):
+            phys, tau_last, sphere_pos = _substep.rollout_substeps(
+                m, state.params, state.physics, actions, state.last_qvel,
+                state.push_force, hf, sim_dt, self.cfg.control.decimation,
+                self.default_qpos, self.cfg.control.action_scale,
+                self.cfg.control.control_type,
+                gravity=self.cfg.sim.gravity)
+            return phys, tau_last, state.actuator_carry, sphere_pos
+
         def substep(carry, i):
             phys, last_qvel, act_carry = carry
             if self.use_actuator_net:
@@ -431,7 +452,7 @@ class LeggedEnv:
         (phys, _, act_carry), taus = jax.lax.scan(
             substep, (state.physics, state.last_qvel, state.actuator_carry),
             jnp.arange(self.cfg.control.decimation))
-        return phys, taus[-1], act_carry
+        return phys, taus[-1], act_carry, None
 
     def _base_frame_quantities(self, phys: PhysicsState):
         base_lin_vel = quat_ops.rotate_inverse(phys.base_quat, phys.base_lin_vel)
@@ -488,7 +509,8 @@ class LeggedEnv:
         state = state.replace(actions=actions, rng=rng)
 
         # --- physics (decimation substeps) ---
-        phys, torques, act_carry = self._physics_rollout(state, actions)
+        phys, torques, act_carry, sphere_pos = self._physics_rollout(
+            state, actions)
         # curriculum credit: signed velocity along the commanded direction
         # (yaw-rotated body-frame command), integrated per control tick —
         # see EnvState.cmd_progress.  Uses the commands that were ACTIVE
@@ -514,7 +536,10 @@ class LeggedEnv:
 
         # --- derived quantities ---
         base_lin_vel, base_ang_vel, proj_grav = self._base_frame_quantities(phys)
-        foot_pos = self._foot_positions(phys, state.params)
+        # the fused rollout already computed final-state sphere positions
+        foot_pos = (sphere_pos[:, jnp.asarray(self.feet_idx), :]
+                    if sphere_pos is not None
+                    else self._foot_positions(phys, state.params))
         measured_heights = self._measured_heights(phys)
         contact_force = phys.contact_force  # (B, nc, 3)
         feet_force = contact_force[:, jnp.asarray(self.feet_idx), :]

@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -242,3 +243,204 @@ def fk_contact_xy_pallas(model, state: PhysicsState,
     )(rows_in)
     y = out_rows.reshape(R_out, Bp).T[:B]
     return y.reshape(B, mc.nc, 2)
+
+
+# --------------------------- fused decimation rollout (one kernel/substep,
+# state stays in row layout across the loop; PD torque + FK-of-output live
+# inside the kernel, so the only XLA work between substeps is the terrain
+# surface gather)
+
+def _state_layout(nj: int):
+    return [("base_pos", 3), ("base_quat", 4), ("base_lin_vel", 3),
+            ("base_ang_vel", 3), ("qpos", nj), ("qvel", nj),
+            ("last_qvel", nj)]
+
+
+def _ctrl_layout(nj: int, nc: int):
+    return [("actions", nj), ("kp", nj), ("kd", nj), ("friction", nc),
+            ("joint_friction", nj), ("added_mass", 1), ("com_offset", 3),
+            ("k_contact", 1), ("d_contact", 1), ("push", 3)]
+
+
+def _read(ref, layout):
+    idx, out = 0, {}
+    for name, cnt in layout:
+        out[name] = [ref[idx + i] for i in range(cnt)]
+        idx += cnt
+    return out
+
+
+def _rollout_kernel(mc, dt, gravity, has_surface, with_push, default_qpos,
+                    action_scale, control_type, sim_dt, *refs):
+    if has_surface:
+        state_ref, ctrl_ref, surf_ref, out_state_ref, out_extra_ref = refs
+    else:
+        state_ref, ctrl_ref, out_state_ref, out_extra_ref = refs
+    nj, nc = mc.nj, mc.nc
+    sv = _read(state_ref, _state_layout(nj))
+    cv = _read(ctrl_ref, _ctrl_layout(nj, nc))
+
+    st = {
+        "base_pos": sv["base_pos"], "base_quat": sv["base_quat"],
+        "base_lin_vel": sv["base_lin_vel"],
+        "base_ang_vel": sv["base_ang_vel"],
+        "qpos": sv["qpos"], "qvel": sv["qvel"],
+        "last_qvel": sv["last_qvel"],
+        "actions": cv["actions"], "kp": cv["kp"], "kd": cv["kd"],
+        "friction": cv["friction"], "joint_friction": cv["joint_friction"],
+        "added_mass": cv["added_mass"][0], "com_offset": cv["com_offset"],
+        "k_contact": cv["k_contact"][0], "d_contact": cv["d_contact"][0],
+        "ext_force": (cv["push"] if with_push else [0.0, 0.0, 0.0]),
+    }
+    st["tau"] = rowdyn.pd_torque_rows(mc, st, default_qpos, action_scale,
+                                      control_type, sim_dt)
+    surface = None
+    if has_surface:
+        surface = [(surf_ref[c], [surf_ref[nc + 3 * c + i]
+                                  for i in range(3)]) for c in range(nc)]
+    out = rowdyn.substep_rows(mc, st, dt, gravity, surface=surface)
+    xyz = rowdyn.fk_contact_pos(mc, {
+        "base_pos": out["base_pos"], "base_quat": out["base_quat"],
+        "qpos": out["qpos"]})
+
+    ones = jnp.ones((_SUB, _LANE), jnp.float32)
+
+    def w(ref, o, vals):
+        for v in vals:
+            ref[o] = v * ones if isinstance(v, (int, float)) else v
+            o += 1
+        return o
+
+    o = 0
+    o = w(out_state_ref, o, out["base_pos"])
+    o = w(out_state_ref, o, out["base_quat"])
+    o = w(out_state_ref, o, out["base_lin_vel"])
+    o = w(out_state_ref, o, out["base_ang_vel"])
+    o = w(out_state_ref, o, out["qpos"])
+    o = w(out_state_ref, o, out["qvel"])
+    o = w(out_state_ref, o, sv["qvel"])  # next substep's last_qvel
+    e = 0
+    e = w(out_extra_ref, e, st["tau"])
+    e = w(out_extra_ref, e, [f for fc in out["contact_force"] for f in fc])
+    e = w(out_extra_ref, e, [v for p in xyz for v in p])
+
+
+def _fk_from_state_kernel(mc, state_ref, out_ref):
+    nj = mc.nj
+    sv = _read(state_ref, _state_layout(nj))
+    xyz = rowdyn.fk_contact_pos(mc, {
+        "base_pos": sv["base_pos"], "base_quat": sv["base_quat"],
+        "qpos": sv["qpos"]})
+    ones = jnp.ones((_SUB, _LANE), jnp.float32)
+    o = 0
+    for p in xyz:
+        for v in p:
+            out_ref[o] = v * ones if isinstance(v, (int, float)) else v
+            o += 1
+
+
+def rollout_substeps(model, params: PhysicsParams, phys: PhysicsState,
+                     actions: jax.Array, last_qvel: jax.Array,
+                     push: jax.Array, height_fn, sim_dt: float, n_sub: int,
+                     default_qpos, action_scale: float, control_type: str,
+                     gravity: float = 9.81, interpret: bool = False):
+    """Full decimation loop (reference point_foot.py:180-185) fused:
+    one mega-kernel per substep, row layout threaded across the loop.
+
+    Returns (PhysicsState, last_tau (B, nj), sphere_pos (B, nc, 3)) —
+    sphere_pos is the FK of the FINAL state (what the env's
+    `_foot_positions` would recompute).
+    """
+    mc = _model_consts(model)
+    nj, nc = mc.nj, mc.nc
+    B = phys.base_pos.shape[0]
+    flat = getattr(height_fn, "is_flat", False)
+    dq = tuple(float(v) for v in np.asarray(default_qpos))
+
+    def pack(cols):
+        x = jnp.concatenate([jnp.asarray(c, jnp.float32) for c in cols],
+                            axis=-1)
+        R = x.shape[-1]
+        Bp = ((B + _BLOCK - 1) // _BLOCK) * _BLOCK
+        if Bp != B:
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (Bp - B, R))], axis=0)
+        return x.T.reshape(R, _SUB, Bp // _SUB), Bp
+
+    state_rows, Bp = pack([phys.base_pos, phys.base_quat, phys.base_lin_vel,
+                           phys.base_ang_vel, phys.qpos, phys.qvel,
+                           last_qvel])
+    ctrl_rows, _ = pack([actions, params.kp, params.kd, params.friction,
+                         params.joint_friction, params.added_mass[..., None],
+                         params.com_offset,
+                         params.contact_stiffness[..., None],
+                         params.contact_damping[..., None], push])
+    lanes = Bp // _SUB
+    R_state = sum(c for _, c in _state_layout(nj))
+    R_extra = nj + 6 * nc
+    spec = lambda R: pl.BlockSpec((R, _SUB, _LANE), lambda i: (0, 0, i),
+                                  memory_space=pltpu.VMEM)
+
+    if not flat:
+        xyz_rows = pl.pallas_call(
+            functools.partial(_fk_from_state_kernel, mc),
+            out_shape=jax.ShapeDtypeStruct((3 * nc, _SUB, lanes),
+                                           jnp.float32),
+            grid=(Bp // _BLOCK,),
+            in_specs=[spec(R_state)], out_specs=spec(3 * nc),
+            interpret=interpret,
+        )(state_rows)
+
+    extra_rows = None
+    for i in range(n_sub):
+        ins = [state_rows, ctrl_rows]
+        in_specs = [spec(R_state), spec(ctrl_rows.shape[0])]
+        if not flat:
+            from pointfoot_tpu.physics import contact as contact_mod
+
+            x = xyz_rows.reshape(nc, 3, _SUB, lanes)
+            h, n = contact_mod.query_surface(height_fn, x[:, 0], x[:, 1])
+            surf_rows = jnp.concatenate(
+                [h, jnp.moveaxis(n, -1, 1).reshape(3 * nc, _SUB, lanes)],
+                axis=0)
+            ins.append(surf_rows)
+            in_specs.append(spec(surf_rows.shape[0]))
+        kernel = functools.partial(
+            _rollout_kernel, mc, float(sim_dt), float(gravity), not flat,
+            i == 0, dq, float(action_scale), control_type, float(sim_dt))
+        state_rows, extra_rows = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((R_state, _SUB, lanes),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((R_extra, _SUB, lanes),
+                                            jnp.float32)),
+            grid=(Bp // _BLOCK,),
+            in_specs=in_specs,
+            out_specs=(spec(R_state), spec(R_extra)),
+            interpret=interpret,
+        )(*ins)
+        if not flat:
+            xyz_rows = extra_rows[nj + 3 * nc:]
+
+    def unpack(rows, R):
+        return rows.reshape(R, Bp).T[:B]
+
+    s = unpack(state_rows, R_state)
+    e = unpack(extra_rows, R_extra)
+    off = {}
+    o = 0
+    for name, cnt in _state_layout(nj):
+        off[name] = (o, o + cnt)
+        o += cnt
+    new_phys = PhysicsState(
+        base_pos=s[:, off["base_pos"][0]:off["base_pos"][1]],
+        base_quat=s[:, off["base_quat"][0]:off["base_quat"][1]],
+        base_lin_vel=s[:, off["base_lin_vel"][0]:off["base_lin_vel"][1]],
+        base_ang_vel=s[:, off["base_ang_vel"][0]:off["base_ang_vel"][1]],
+        qpos=s[:, off["qpos"][0]:off["qpos"][1]],
+        qvel=s[:, off["qvel"][0]:off["qvel"][1]],
+        contact_force=e[:, nj:nj + 3 * nc].reshape(B, nc, 3),
+    )
+    tau_last = e[:, :nj]
+    sphere_pos = e[:, nj + 3 * nc:].reshape(B, nc, 3)
+    return new_phys, tau_last, sphere_pos

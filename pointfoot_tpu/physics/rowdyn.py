@@ -269,6 +269,8 @@ class ModelConsts:
         self.q_upper = np.asarray(model.q_upper, np.float64).tolist()
         self.velocity_limit = np.asarray(
             model.velocity_limit, np.float64).tolist()
+        self.effort_limit = np.asarray(
+            model.effort_limit, np.float64).tolist()
         self.joint_damping = np.asarray(
             model.joint_damping, np.float64).tolist()
         self.mass = np.asarray(model.mass, np.float64).tolist()
@@ -590,3 +592,51 @@ def fk_contact_xy(mc: ModelConsts, st: Dict) -> List:
         out.append([fadd(st["base_pos"][0], p_rel[0]),
                     fadd(st["base_pos"][1], p_rel[1])])
     return out
+
+
+def fk_contact_pos(mc: ModelConsts, st: Dict) -> List:
+    """World [x, y, z] of every collision sphere (positions-only FK rows)."""
+    nb = mc.nb
+    R = [quat_to_mat(st["base_quat"])]
+    pos = [[0.0, 0.0, 0.0]]
+    for b in range(1, nb):
+        j = b - 1
+        p = mc.parent[b]
+        anch = v_add(pos[p], m_vec(R[p], mc.joint_pos[j]))
+        frame0 = m_mul(R[p], mc.joint_rot_mat[j])
+        R.append(m_mul(frame0, rodrigues_const_axis(mc.joint_axis[j],
+                                                    st["qpos"][j])))
+        pos.append(anch)
+    out = []
+    for c in range(mc.nc):
+        b = mc.collision_body[c]
+        p_rel = v_add(pos[b], m_vec(R[b], mc.collision_offset[c]))
+        out.append([fadd(st["base_pos"][i], p_rel[i]) for i in range(3)])
+    return out
+
+
+def pd_torque_rows(mc: ModelConsts, st: Dict, default_qpos, action_scale,
+                   control_type: str, sim_dt: float) -> List:
+    """Reference PD law on rows (point_foot.py:523-547; legged_env
+    _compute_torques): tau = clip(kp (a·scale + q_def − q) − kd q̇, ±lim)."""
+    taus = []
+    for j in range(mc.nj):
+        scaled = fmul(st["actions"][j], action_scale)
+        if control_type == "P":
+            err = fadd(scaled, default_qpos[j], fneg(st["qpos"][j]))
+            t = fsub(fmul(st["kp"][j], err), fmul(st["kd"][j], st["qvel"][j]))
+        elif control_type == "V":
+            t = fsub(fmul(st["kp"][j], fsub(scaled, st["qvel"][j])),
+                     fmul(st["kd"][j],
+                          fsub(st["qvel"][j], st["last_qvel"][j]) / sim_dt))
+        elif control_type == "T":
+            t = scaled
+        else:
+            raise NameError(f"Unknown controller type: {control_type}")
+        lim = mc_effort_limit(mc)[j]
+        taus.append(jnp.clip(t, -lim, lim))
+    return taus
+
+
+def mc_effort_limit(mc: ModelConsts):
+    return mc.effort_limit

@@ -114,3 +114,38 @@ def test_fk_contact_xy_matches_forward_kinematics(rig):
                           model.collision_offset[c]))
         np.testing.assert_allclose(got[:, c], p[:, :2], atol=2e-5,
                                    err_msg=f"sphere {c}")
+
+
+def test_fused_rollout_matches_scan_path():
+    """rollout_substeps (one kernel per substep, PD + FK-of-output inside,
+    row layout threaded) vs the reference scan path on real curriculum
+    terrain, including push on substep 0 and foot positions."""
+    from pointfoot_tpu.ops.pallas import substep as sp
+    from pointfoot_tpu.utils.registry import task_registry
+
+    env = task_registry.make_env("pointfoot_rough", num_envs=8)
+    state = env.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for _ in range(3):
+        state, _ = step(state, 0.2 * jnp.ones((8, 6)))
+    state = state.replace(push_force=5.0 * jax.random.normal(
+        jax.random.PRNGKey(9), (8, 3)))
+    actions = 0.3 * jax.random.normal(jax.random.PRNGKey(5), (8, 6))
+    phys_ref, tau_ref, _, _ = env._physics_rollout(state, actions)
+    phys_got, tau_got, sphere = sp.rollout_substeps(
+        env.model, state.params, state.physics, actions, state.last_qvel,
+        state.push_force, env._height_fn(), env.cfg.sim.dt,
+        env.cfg.control.decimation, env.default_qpos,
+        env.cfg.control.action_scale, env.cfg.control.control_type,
+        gravity=env.cfg.sim.gravity, interpret=True)
+    np.testing.assert_allclose(phys_got.qvel, phys_ref.qvel, atol=2e-3)
+    np.testing.assert_allclose(phys_got.base_lin_vel, phys_ref.base_lin_vel,
+                               atol=5e-4)
+    np.testing.assert_allclose(phys_got.base_pos, phys_ref.base_pos,
+                               atol=5e-5)
+    np.testing.assert_allclose(phys_got.contact_force,
+                               phys_ref.contact_force, atol=0.05, rtol=1e-3)
+    np.testing.assert_allclose(tau_got, tau_ref, atol=5e-3)
+    fp = env._foot_positions(phys_ref, state.params)
+    np.testing.assert_allclose(
+        np.asarray(sphere)[:, list(env.feet_idx)], fp, atol=5e-5)
