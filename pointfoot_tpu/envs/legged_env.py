@@ -416,6 +416,7 @@ class LeggedEnv:
         from pointfoot_tpu.ops.pallas import substep as _substep
 
         if (jax.devices()[0].platform == "tpu"
+                and jax.device_count() == 1  # see step_batched dispatch note
                 and self.num_envs >= _substep._BLOCK
                 and not self.use_actuator_net
                 and _os.environ.get("POINTFOOT_MEGAKERNEL", "1") == "1"):

@@ -433,8 +433,11 @@ def step_batched(
 
     B = state.base_pos.shape[0]
     on_tpu = jax.devices()[0].platform == "tpu"
-    if (solver is None and on_tpu
+    if (solver is None and on_tpu and jax.device_count() == 1
             and os.environ.get("POINTFOOT_MEGAKERNEL", "1") == "1"):
+        # single-device only: a pallas_call under pjit is not auto-
+        # partitioned — multi-chip meshes keep the XLA path until the
+        # rollout is shard_mapped (future work, docs/PROFILE_SUBSTEP.md)
         # substep mega-kernel (docs/PROFILE_SUBSTEP.md): the whole substep
         # as ONE lane-batched Pallas kernel — 2.35x the XLA path on v5e at
         # B=4096.  Terrain enters as surface rows gathered at the sphere
