@@ -250,7 +250,12 @@ class AlgorithmCfg:
     # dead.  rsl_rl v1.x has the same hole (IsaacLab's 2.x added a clamp);
     # the rails are generous enough that healthy runs never touch them
     # (pointfoot converges with std < 1)
-    max_noise_std: float = 3.0
+    # Exploration-noise rails.  3.0 proved too loose: at ~79.3k iters of
+    # the rough run a NaN-quarantine wave fed wild advantages and the
+    # entropy term ran the std 0.51 -> 1.08 in ~1k iters, collapsing
+    # terrain_level 4.6 -> 0 (metrics.jsonl tpu_r3_run1).  1.5 still
+    # clears init_noise_std=1.0 with headroom but stops the runaway.
+    max_noise_std: float = 1.5
     min_noise_std: float = 0.01
 
 

@@ -95,18 +95,35 @@ class TerrainGrid:
         py = jnp.clip(py, 0.0, C - 2.0)
         return px, py
 
-    def height_at(self, x: jax.Array, y: jax.Array) -> jax.Array:
-        """Bilinear height sample (contact surface; matches the piecewise-
-        linear trimesh PhysX collides against up to triangulation choice)."""
+    # NOTE on lookup style: all hot queries below gather via ONE
+    # jnp.take on a flattened (or row-packed) table.  2-D fancy indexing
+    # lowers to a 3x slower TPU gather, and fetching the 3-4 values a
+    # query needs as one packed ROW costs the same as fetching one scalar
+    # (measured on v5e: 2d fancy 11.5 ms vs 1d take 3.8 ms vs packed row
+    # 0.7 ms per 37k-point query set).  The packed tables are derived
+    # in-trace from the pytree fields — XLA hoists them out of rollout
+    # scans, so they cost one concat per jitted program, not per step.
+
+    def _cell_index(self, x, y):
         px, py = self._grid_coords(x, y)
         x0 = jnp.floor(px).astype(jnp.int32)
         y0 = jnp.floor(py).astype(jnp.int32)
+        C = self.height.shape[1]
+        return x0, y0, px, py, x0 * C + y0
+
+    def height_at(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        """Bilinear height sample (contact surface; matches the piecewise-
+        linear trimesh PhysX collides against up to triangulation choice)."""
+        x0, y0, px, py, idx = self._cell_index(x, y)
         fx = px - x0
         fy = py - y0
-        h00 = self.height[x0, y0]
-        h10 = self.height[x0 + 1, y0]
-        h01 = self.height[x0, y0 + 1]
-        h11 = self.height[x0 + 1, y0 + 1]
+        h = self.height
+        sx = jnp.concatenate([h[1:], h[-1:]], axis=0)
+        sy = jnp.concatenate([h[:, 1:], h[:, -1:]], axis=1)
+        sxy = jnp.concatenate([sy[1:], sy[-1:]], axis=0)
+        packed = jnp.stack([h, sx, sy, sxy], axis=-1).reshape(-1, 4)
+        q = jnp.take(packed, idx, axis=0)
+        h00, h10, h01, h11 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
         return (
             h00 * (1 - fx) * (1 - fy)
             + h10 * fx * (1 - fy)
@@ -117,21 +134,18 @@ class TerrainGrid:
     def height_scan_at(self, x: jax.Array, y: jax.Array) -> jax.Array:
         """Reference height-scan lookup: min of 3 neighbor cells
         (point_foot.py:1106-1111) — one gather from the precomputed field."""
-        px, py = self._grid_coords(x, y)
-        x0 = jnp.floor(px).astype(jnp.int32)
-        y0 = jnp.floor(py).astype(jnp.int32)
-        return self.min3[x0, y0]
+        _, _, _, _, idx = self._cell_index(x, y)
+        return jnp.take(self.min3.reshape(-1), idx)
 
     def surface_at(self, x: jax.Array, y: jax.Array):
         """(height, unit normal) of the cell's contact plane — the
         piecewise-planar surface PhysX's trimesh collision approximates.
         One cell fetch (h + 2 slopes) instead of ~25 point queries."""
-        px, py = self._grid_coords(x, y)
-        x0 = jnp.floor(px).astype(jnp.int32)
-        y0 = jnp.floor(py).astype(jnp.int32)
-        h00 = self.height[x0, y0]
-        g = self.slope[x0, y0]
-        gx, gy = g[..., 0], g[..., 1]
+        x0, y0, px, py, idx = self._cell_index(x, y)
+        packed = jnp.concatenate([self.height[..., None], self.slope],
+                                 axis=-1).reshape(-1, 3)
+        q = jnp.take(packed, idx, axis=0)
+        h00, gx, gy = q[..., 0], q[..., 1], q[..., 2]
         h = h00 + gx * (px - x0) * self.hscale + gy * (py - y0) * self.hscale
         n = jnp.stack([-gx, -gy, jnp.ones_like(gx)], axis=-1)
         n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
