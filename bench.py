@@ -152,6 +152,11 @@ def main_train():
     key = jax.random.PRNGKey(2)
     ts, es2, obs, priv, metrics = it(ts, st, out.obs, out.privileged_obs, key)
     jax.block_until_ready(metrics["kl"])  # compile + warm
+    # second warmup with the OUTPUTS as inputs: XLA picks different layouts
+    # for the returned arrays than the fresh inputs had, so the second call
+    # recompiles (~35 s) — it must not land inside the timed loop
+    ts, es2, obs, priv, metrics = it(ts, es2, obs, priv, key)
+    jax.block_until_ready(metrics["kl"])
     iters = max(TIMED_ITERS // 2, 5)
     t0 = time.perf_counter()
     for _ in range(iters):
