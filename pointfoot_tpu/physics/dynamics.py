@@ -366,6 +366,12 @@ def finish_step(
     ang_m = 0.5 * (state.base_ang_vel + ang)
     lin_m = 0.5 * (state.base_lin_vel + lin)
     lin = lin + dt * jnp.cross(ang_m, lin_m)
+    # Isaac Gym asset-option clamps (max_angular_velocity=64,
+    # max_linear_velocity=1000, gymapi defaults the reference inherits):
+    # a numerically exploding env saturates instead of overflowing to
+    # inf/NaN, so termination can catch it before it poisons the batch
+    ang = jnp.clip(ang, -64.0, 64.0)
+    lin = jnp.clip(lin, -1000.0, 1000.0)
     qvel = jnp.clip(qvel, -model.velocity_limit, model.velocity_limit)
     pos = state.base_pos + dt * lin
     quat = quat_ops.integrate(state.base_quat, ang, dt)

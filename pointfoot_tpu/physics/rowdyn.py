@@ -537,6 +537,9 @@ def substep_rows(mc: ModelConsts, st: Dict, dt: float, gravity: float,
     ang_m = v_scale(0.5, v_add(w0, ang))
     lin_m = v_scale(0.5, v_add(v0, lin))
     lin = v_add(lin, v_scale(dt, cross3(ang_m, lin_m)))
+    # Isaac Gym velocity clamps — keep in lockstep with finish_step
+    ang = [jnp.clip(a, -64.0, 64.0) for a in ang]
+    lin = [jnp.clip(a, -1000.0, 1000.0) for a in lin]
     qvel_new = []
     for j in range(nj):
         vl = mc.velocity_limit[j]
