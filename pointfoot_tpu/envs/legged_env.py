@@ -641,10 +641,16 @@ class LeggedEnv:
         # zero their rewards entirely (nan_to_num alone maps inf to 3.4e38,
         # which still poisons GAE), and clamp the rest defensively
         reward = jnp.where(bad, 0.0, jnp.nan_to_num(reward))
-        reward = jnp.clip(reward, -1e4, 1e4)
+        # +-100 (~50x any legitimate per-step magnitude; scales are
+        # dt-premultiplied so healthy per-step terms are O(1)).  The old
+        # +-1e4 band let finite-but-huge rewards from kicked envs (deep-
+        # penetration spring impulses) through: one storm of them drove
+        # value_loss from ~3 to 1e8 at ~88k iters and the poisoned critic
+        # took the policy down with it (entropy runaway; metrics.jsonl).
+        reward = jnp.clip(reward, -100.0, 100.0)
         term_values = jnp.where(bad[:, None], 0.0,
                                 jnp.nan_to_num(term_values))
-        term_values = jnp.clip(term_values, -1e4, 1e4)
+        term_values = jnp.clip(term_values, -100.0, 100.0)
         episode_sums = state.episode_sums + term_values
         state = state.replace(episode_sums=episode_sums)
 

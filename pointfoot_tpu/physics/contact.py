@@ -91,7 +91,10 @@ def contact_terms(
         r = model.collision_radius[c]
         h, n = query_surface(height_fn, p[0], p[1])
         gap = (p[2] - r - h) * n[2]  # vertical gap projected onto the normal
-        pen = jnp.maximum(-gap, 0.0)
+        # cap penetration (and with it the spring force, <= 0.2*k ~ 2.4 kN,
+        # ~20x body weight): an env that tunnels deep in one bad substep
+        # gets a bounded restoring kick instead of a catapult launch
+        pen = jnp.minimum(jnp.maximum(-gap, 0.0), 0.2)
         active = pen > 0.0
         rel = p - origin
 

@@ -371,7 +371,10 @@ def finish_step(
     # a numerically exploding env saturates instead of overflowing to
     # inf/NaN, so termination can catch it before it poisons the batch
     ang = jnp.clip(ang, -64.0, 64.0)
-    lin = jnp.clip(lin, -1000.0, 1000.0)
+    # Isaac's max_linear_velocity default is 1000, but our compliant
+    # contact at the 5 ms substep can catapult a deeply-clipped state;
+    # 50 m/s is still 10x any legitimate locomotion speed
+    lin = jnp.clip(lin, -50.0, 50.0)
     qvel = jnp.clip(qvel, -model.velocity_limit, model.velocity_limit)
     pos = state.base_pos + dt * lin
     quat = quat_ops.integrate(state.base_quat, ang, dt)

@@ -434,7 +434,8 @@ def substep_rows(mc: ModelConsts, st: Dict, dt: float, gravity: float,
             h, n = surface[c]
         p_z_world = fadd(st["base_pos"][2], p_rel[2])
         gap = fmul(fsub(fsub(p_z_world, r_c), h), n[2])
-        pen = jnp.maximum(-gap, 0.0)
+        # penetration cap — keep in lockstep with contact.contact_terms
+        pen = jnp.minimum(jnp.maximum(-gap, 0.0), 0.2)
         active = pen > 0.0
 
         J = [[0.0] * nv for _ in range(3)]
@@ -539,7 +540,7 @@ def substep_rows(mc: ModelConsts, st: Dict, dt: float, gravity: float,
     lin = v_add(lin, v_scale(dt, cross3(ang_m, lin_m)))
     # Isaac Gym velocity clamps — keep in lockstep with finish_step
     ang = [jnp.clip(a, -64.0, 64.0) for a in ang]
-    lin = [jnp.clip(a, -1000.0, 1000.0) for a in lin]
+    lin = [jnp.clip(a, -50.0, 50.0) for a in lin]  # see finish_step
     qvel_new = []
     for j in range(nj):
         vl = mc.velocity_limit[j]
