@@ -462,3 +462,25 @@ def test_reference_exact_demotion_toggle():
     assert (results[False] == 3).all(), results[False]
     # reference-exact: full-episode scaling demotes it (2.5 m < 5 m required)
     assert (results[True] == 2).all(), results[True]
+
+
+def test_reward_clamp_bounds_freak_envs():
+    """Per-step rewards are clipped to +-100 (legged_env step): a
+    pathological state cannot inject value-function-poisoning returns
+    (the ~88k value_loss=1e8 incident, docs/ROUND3_NOTES.md)."""
+    env = task_registry.make_env("pointfoot_rough", num_envs=4)
+    state = env.init_state(jax.random.PRNGKey(0))
+    # catapult half the batch: deep under terrain at high speed
+    phys = state.physics
+    bad_pos = phys.base_pos.at[:2, 2].set(-3.0)
+    bad_vel = phys.base_lin_vel.at[:2].set(
+        jnp.asarray([30.0, -30.0, -45.0]))
+    state = state.replace(physics=phys.replace(
+        base_pos=bad_pos, base_lin_vel=bad_vel,
+        qvel=phys.qvel.at[:2].set(19.0)))
+    state, out = jax.jit(env.step)(state, 100.0 * jnp.ones((4, 6)))
+    r = np.asarray(out.reward)
+    assert np.isfinite(r).all()
+    assert (np.abs(r) <= 100.0).all(), r
+    sums = np.asarray(state.episode_sums)
+    assert np.isfinite(sums).all() and (np.abs(sums) <= 100.0 * 20).all()

@@ -213,3 +213,22 @@ def test_stick_slip_breakaway_band(a1):
     # creep below the cone stays creep (regularized Coulomb, PARITY.md)
     i_half = np.argmin(np.abs(np.asarray(forces) - 0.5 * mu * w))
     assert vx[i_half] < 0.4, f"creep {vx[i_half]:.3f} m/s at 0.5 mu W"
+
+
+def test_deep_penetration_bounded_kick(pf_model):
+    """A state that tunnels deep below terrain in one substep must get a
+    BOUNDED restoring kick (penetration cap 0.2 m + 50 m/s velocity
+    clamp), not a catapult launch — the catapult rewards poisoned the
+    critic at ~88k iters of the rough run (value_loss 3 -> 1e8)."""
+    model, params = pf_model
+    phys = PhysicsState.default(model, np.zeros(model.nj), base_height=-1.5)
+    phys = phys.replace(base_lin_vel=jnp.asarray([0.0, 0.0, -20.0]))
+    p = phys
+    for _ in range(10):
+        p = dynamics.step(model, params, p, jnp.zeros(model.nj), FLAT, DT)
+    assert np.isfinite(np.asarray(p.base_pos)).all()
+    assert np.abs(np.asarray(p.base_lin_vel)).max() <= 50.0 + 1e-3
+    assert np.abs(np.asarray(p.base_ang_vel)).max() <= 64.0 + 1e-3
+    # spring force bounded by the cap: k * 0.2
+    fmax = float(params.contact_stiffness) * 0.2
+    assert np.asarray(p.contact_force).max() < 4 * fmax  # damping slack
