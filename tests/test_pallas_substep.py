@@ -149,3 +149,35 @@ def test_fused_rollout_matches_scan_path():
     fp = env._foot_positions(phys_ref, state.params)
     np.testing.assert_allclose(
         np.asarray(sphere)[:, list(env.feet_idx)], fp, atol=5e-5)
+
+
+def test_fused_rollout_matches_scan_path_flat():
+    """Flat-terrain fused rollout (surface folded to trace-time constants,
+    is_flat path) vs the reference scan path — the configuration the flat
+    fine-tune trains under."""
+    from pointfoot_tpu.ops.pallas import substep as sp
+    from pointfoot_tpu.utils.registry import task_registry
+
+    env = task_registry.make_env("pointfoot_flat", num_envs=8)
+    state = env.init_state(jax.random.PRNGKey(2))
+    step = jax.jit(env.step)
+    for _ in range(3):
+        state, _ = step(state, 0.2 * jnp.ones((8, 6)))
+    actions = 0.3 * jax.random.normal(jax.random.PRNGKey(4), (8, 6))
+    phys_ref, tau_ref, _, _ = env._physics_rollout(state, actions)
+    hf = env._height_fn()
+    assert getattr(hf, "is_flat", False), "flat env must mark is_flat"
+    phys_got, tau_got, sphere = sp.rollout_substeps(
+        env.model, state.params, state.physics, actions, state.last_qvel,
+        state.push_force, hf, env.cfg.sim.dt, env.cfg.control.decimation,
+        env.default_qpos, env.cfg.control.action_scale,
+        env.cfg.control.control_type, gravity=env.cfg.sim.gravity,
+        interpret=True)
+    np.testing.assert_allclose(phys_got.qvel, phys_ref.qvel, atol=2e-3)
+    np.testing.assert_allclose(phys_got.base_lin_vel, phys_ref.base_lin_vel,
+                               atol=5e-4)
+    np.testing.assert_allclose(phys_got.base_pos, phys_ref.base_pos,
+                               atol=5e-5)
+    np.testing.assert_allclose(phys_got.contact_force,
+                               phys_ref.contact_force, atol=0.05, rtol=1e-3)
+    np.testing.assert_allclose(tau_got, tau_ref, atol=5e-3)
