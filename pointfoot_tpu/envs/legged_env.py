@@ -216,6 +216,9 @@ class LeggedEnv:
         self.push_interval = int(np.ceil(
             cfg.domain_rand.push_interval_s / self.dt))
         self.resample_interval = int(cfg.commands.resampling_time / self.dt)
+        # set by the runner when training under a device mesh: lets the
+        # physics rollout shard_map the Pallas mega-kernel over the DP axis
+        self.shard_mesh = None
         self.cmd_scale = jnp.asarray([
             cfg.normalization.lin_vel_scale,
             cfg.normalization.lin_vel_scale,
@@ -415,18 +418,37 @@ class LeggedEnv:
 
         from pointfoot_tpu.ops.pallas import substep as _substep
 
+        mesh = getattr(self, "shard_mesh", None)
         if (jax.devices()[0].platform == "tpu"
-                and jax.device_count() == 1  # see step_batched dispatch note
-                and self.num_envs >= _substep._BLOCK
                 and not self.use_actuator_net
                 and _os.environ.get("POINTFOOT_MEGAKERNEL", "1") == "1"):
-            phys, tau_last, sphere_pos = _substep.rollout_substeps(
-                m, state.params, state.physics, actions, state.last_qvel,
-                state.push_force, hf, sim_dt, self.cfg.control.decimation,
-                self.default_qpos, self.cfg.control.action_scale,
-                self.cfg.control.control_type,
-                gravity=self.cfg.sim.gravity)
-            return phys, tau_last, state.actuator_carry, sphere_pos
+            if (jax.device_count() == 1
+                    and self.num_envs >= _substep._BLOCK):
+                phys, tau_last, sphere_pos = _substep.rollout_substeps(
+                    m, state.params, state.physics, actions,
+                    state.last_qvel, state.push_force, hf, sim_dt,
+                    self.cfg.control.decimation, self.default_qpos,
+                    self.cfg.control.action_scale,
+                    self.cfg.control.control_type,
+                    gravity=self.cfg.sim.gravity)
+                return phys, tau_last, state.actuator_carry, sphere_pos
+            # multi-chip: shard_map the fused rollout over the DP axis so
+            # each device runs the mega-kernel on its local shard (pjit
+            # would not partition the pallas_call; the runner hands the
+            # env its mesh via `shard_mesh`)
+            if (mesh is not None and jax.device_count() > 1
+                    and self.num_envs % mesh.size == 0
+                    and self.num_envs // mesh.size >= _substep._BLOCK):
+                phys, tau_last, sphere_pos = \
+                    _substep.rollout_substeps_sharded(
+                        mesh, mesh.axis_names[0], m, state.params,
+                        state.physics, actions, state.last_qvel,
+                        state.push_force, hf, sim_dt,
+                        self.cfg.control.decimation, self.default_qpos,
+                        self.cfg.control.action_scale,
+                        self.cfg.control.control_type,
+                        gravity=self.cfg.sim.gravity)
+                return phys, tau_last, state.actuator_carry, sphere_pos
 
         def substep(carry, i):
             phys, last_qvel, act_carry = carry

@@ -444,3 +444,40 @@ def rollout_substeps(model, params: PhysicsParams, phys: PhysicsState,
     tau_last = e[:, :nj]
     sphere_pos = e[:, nj + 3 * nc:].reshape(B, nc, 3)
     return new_phys, tau_last, sphere_pos
+
+
+def rollout_substeps_sharded(mesh, axis: str, model, params: PhysicsParams,
+                             phys: PhysicsState, actions: jax.Array,
+                             last_qvel: jax.Array, push: jax.Array,
+                             height_fn, sim_dt: float, n_sub: int,
+                             default_qpos, action_scale: float,
+                             control_type: str, gravity: float = 9.81,
+                             interpret: bool = False):
+    """Multi-device fused rollout: `rollout_substeps` under `jax.shard_map`.
+
+    A `pallas_call` is not auto-partitioned by pjit, so the single-device
+    mega-kernel path was gated off under multi-chip meshes (the XLA substep
+    ran instead).  The TPU recipe is to shard_map the kernel over the DP
+    axis: each device runs the identical fused rollout on its local batch
+    shard, no collectives inside (physics is embarrassingly env-parallel;
+    the terrain arrays close over as replicated constants).  Per-device
+    batch should clear `_BLOCK` or the kernel pads with copies of env 0 —
+    the dispatch in `legged_env._physics_rollout` enforces that.
+    """
+    batch = jax.sharding.PartitionSpec(axis)
+
+    def body(params_, phys_, actions_, last_qvel_, push_):
+        return rollout_substeps(
+            model, params_, phys_, actions_, last_qvel_, push_, height_fn,
+            sim_dt, n_sub, default_qpos, action_scale, control_type,
+            gravity=gravity, interpret=interpret)
+
+    # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no
+    # varying-mesh-axes annotation, and there are no collectives to check —
+    # every output is per-shard batch data
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(batch, batch, batch, batch, batch),
+        out_specs=(batch, batch, batch),
+        check_vma=False,
+    )(params, phys, actions, last_qvel, push)

@@ -260,6 +260,10 @@ class OnPolicyRunner:
             # now first-class in training)
             from pointfoot_tpu.parallel.mesh import replicated, shard_batch
 
+            # hand the env its mesh so the physics rollout can shard_map
+            # the Pallas mega-kernel over the DP axis (pjit alone would
+            # fall back to the XLA substep on multi-chip)
+            self.env.shard_mesh = self.mesh
             env_state = shard_batch(env_state, self.mesh)
             train_state = jax.device_put(train_state, replicated(self.mesh))
             key = jax.device_put(key, replicated(self.mesh))

@@ -70,6 +70,53 @@ def test_sharded_env_step_matches_single_device():
                                atol=1e-5)
 
 
+def test_rollout_substeps_sharded_matches_unsharded():
+    """The shard_mapped Pallas rollout (multi-chip mega-kernel path) must
+    reproduce the single-shard fused rollout exactly: physics is env-
+    parallel, so sharding the batch over 'dp' is layout only.  Runs in
+    interpret mode on the virtual CPU mesh (the TPU dispatch in
+    `legged_env._physics_rollout` takes this path when per-device batch
+    clears the kernel block size)."""
+    from pointfoot_tpu.ops.pallas import substep as sp
+    from pointfoot_tpu.utils.registry import task_registry
+
+    env = task_registry.make_env("pointfoot_rough", num_envs=16)
+    state = env.init_state(jax.random.PRNGKey(3))
+    step = jax.jit(env.step)
+    for _ in range(3):
+        state, _ = step(state, 0.15 * jnp.ones((16, 6)))
+    actions = 0.3 * jax.random.normal(jax.random.PRNGKey(7), (16, 6))
+    args = (env.model, state.params, state.physics, actions,
+            state.last_qvel, state.push_force, env._height_fn(),
+            env.cfg.sim.dt, env.cfg.control.decimation, env.default_qpos,
+            env.cfg.control.action_scale, env.cfg.control.control_type)
+
+    phys_ref, tau_ref, sphere_ref = sp.rollout_substeps(
+        *args, gravity=env.cfg.sim.gravity, interpret=True)
+
+    mesh = make_mesh(8)
+    state_sh = shard_batch(state, mesh)
+    actions_sh = jax.device_put(actions, env_sharding(mesh))
+    phys_got, tau_got, sphere_got = sp.rollout_substeps_sharded(
+        mesh, "dp", env.model, state_sh.params, state_sh.physics,
+        actions_sh, state_sh.last_qvel, state_sh.push_force,
+        env._height_fn(), env.cfg.sim.dt, env.cfg.control.decimation,
+        env.default_qpos, env.cfg.control.action_scale,
+        env.cfg.control.control_type, gravity=env.cfg.sim.gravity,
+        interpret=True)
+
+    for name in ("base_pos", "base_quat", "base_lin_vel", "base_ang_vel",
+                 "qpos", "qvel", "contact_force"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(phys_got, name)),
+            np.asarray(getattr(phys_ref, name)), atol=1e-5,
+            err_msg=name)
+    np.testing.assert_allclose(np.asarray(tau_got), np.asarray(tau_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sphere_got),
+                               np.asarray(sphere_ref), atol=1e-5)
+
+
 def test_sharded_ppo_iteration():
     """Full PPO train iteration under a dp mesh (the dryrun path)."""
     from pointfoot_tpu.utils.registry import task_registry
