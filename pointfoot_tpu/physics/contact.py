@@ -30,6 +30,18 @@ import jax.numpy as jnp
 from pointfoot_tpu.ops import spatial
 from pointfoot_tpu.physics.model import PhysicsParams, RobotModel
 
+# PhysX parity (pointfoot_rough_config.py:210, legged_robot_config.py:197:
+# sim.physx.max_depenetration_velocity = 1.0): contact may not push bodies
+# apart faster than this.  In the compliant model the spring IS the
+# depenetration mechanism, so its force fades linearly to zero as the
+# contact point's outward normal velocity approaches this limit
+# (continuous in v_n — statics and impacts keep the full spring).  Without
+# it a deep one-substep tunnel (0.2 m cap x 1.2e4 N/m = 2.4 kN sustained
+# vs 1.2 kN/(m/s) braking) integrates to a 20-40 m/s "catapult" launch —
+# observed poisoning the critic with +/-100-clipped reward storms and
+# collapsing otherwise-healthy training runs (docs/ROUND3_NOTES.md item 6).
+MAX_DEPENETRATION_VEL = 1.0  # m/s — keep in lockstep with rowdyn.py
+
 
 class ContactTerms(NamedTuple):
     """Everything the implicit velocity solve needs from the contact model."""
@@ -107,12 +119,16 @@ def contact_terms(
             J = J.at[:, 6 + j].set(col)
 
         v_p = spatial.point_velocity(body_vel[b], rel)
-        v_t = v_p - n * jnp.dot(n, v_p)
+        v_n = jnp.dot(n, v_p)
+        v_t = v_p - n * v_n
         vt_norm = jnp.linalg.norm(v_t)
 
         k = params.contact_stiffness
         d = params.contact_damping
-        f_n_spring = k * pen
+        # depenetration-velocity cap: fade the spring as the point exits
+        # (see MAX_DEPENETRATION_VEL above; approach/rest keep s_dep = 1)
+        s_dep = jnp.clip(1.0 - v_n / MAX_DEPENETRATION_VEL, 0.0, 1.0)
+        f_n_spring = k * pen * s_dep
         f_spring = jnp.where(active, f_n_spring, 0.0) * n
 
         # UNILATERAL contact: cap the normal damping so the predicted
@@ -121,7 +137,6 @@ def contact_terms(
         # adhesion (~120 N at 0.1 m/s for the reference-scale d) and a
         # swing foot grazing the ground cannot lift off.  Continuous in
         # v_n: resting/approaching contacts keep full damping.
-        v_n = jnp.dot(n, v_p)
         # NOTE the v_n <= 0 (approach/impact) side also passes through the
         # f_spring/0.05 cap, i.e. damping ramps in over the first
         # d/(20k) ~ 5 mm of penetration rather than applying in full at

@@ -455,7 +455,12 @@ def substep_rows(mc: ModelConsts, st: Dict, dt: float, gravity: float,
         vt_norm = jnp.sqrt(jnp.maximum(
             fadd(*[fmul(v_t[r], v_t[r]) for r in range(3)]), 1e-12))
 
-        f_n_spring = fmul(k_c, pen)
+        # depenetration-velocity cap (contact.MAX_DEPENETRATION_VEL — PhysX
+        # parity pointfoot_rough_config.py:210): spring fades to zero as
+        # the point exits at >= 1 m/s; keep in lockstep with
+        # contact.contact_terms
+        s_dep = jnp.clip(1.0 - v_n, 0.0, 1.0)
+        f_n_spring = fmul(fmul(k_c, pen), s_dep)
         f_spring = v_scale(jnp.where(active, f_n_spring, 0.0), n)
         d_cap = f_n_spring / jnp.maximum(v_n, 0.05)
         d_n = jnp.where(active, jnp.minimum(d_c, d_cap), 0.0)

@@ -232,3 +232,28 @@ def test_deep_penetration_bounded_kick(pf_model):
     # spring force bounded by the cap: k * 0.2
     fmax = float(params.contact_stiffness) * 0.2
     assert np.asarray(p.contact_force).max() < 4 * fmax  # damping slack
+
+
+def test_depenetration_velocity_capped(pf_model):
+    """PhysX-parity depenetration cap (pointfoot_rough_config.py:210,
+    max_depenetration_velocity = 1.0): a robot buried 1.5 m underground
+    must surface at ~1 m/s and settle, NOT be catapulted tens of meters.
+    Regeneration-proof: run the buried state to exit and assert the peak
+    upward base velocity and apex height over the whole 3 s rollout.
+    Without the cap this measures +9 m/s exit and a multi-meter flight
+    (the flat fine-tune's collapse trigger, docs/ROUND3_NOTES.md)."""
+    model, params = pf_model
+    phys = PhysicsState.default(model, np.zeros(model.nj), base_height=-1.5)
+
+    def body(p, _):
+        p = dynamics.step(model, params, p, jnp.zeros(model.nj), FLAT, DT)
+        return p, (p.base_pos[2], p.base_lin_vel[2])
+
+    _, (zs, vzs) = jax.lax.scan(body, phys, None, length=600)
+    zs, vzs = np.asarray(zs), np.asarray(vzs)
+    # exit velocity bounded by the cap plus one-substep overshoot slack
+    assert vzs.max() <= 2.0, f"upward exit velocity {vzs.max():.2f} m/s"
+    # never launched: apex stays near the surface (sphere radii ~cm scale)
+    assert zs.max() <= 0.8, f"apex {zs.max():.2f} m — catapulted"
+    # and it actually surfaced (the cap must not trap it underground)
+    assert zs[-1] > -0.6, f"still buried at z={zs[-1]:.2f}"
