@@ -143,6 +143,7 @@ def main_train():
 
     from pointfoot_tpu.utils.registry import task_registry
 
+    os.environ.setdefault("POINTFOOT_PROCTERRAIN", "1")  # see main()
     env = task_registry.make_env("pointfoot_rough", num_envs=NUM_ENVS)
     runner = task_registry.make_alg_runner(env, "pointfoot_rough")
     ts, es = runner.init(jax.random.PRNGKey(0))  # es IS a fresh env state
@@ -188,6 +189,14 @@ def main(task="pointfoot_rough"):
 
     from pointfoot_tpu.utils.registry import task_registry
 
+    # gather-free closed-form terrain (terrain/procedural.py) is the
+    # TPU-native configuration and the default measurement: the 121-pt
+    # height-scan gather was ~3.6 ms of the 5.5 ms step (XLA gather floor).
+    # BENCH_PROCTERRAIN=0 A/Bs the heightfield-table path.
+    os.environ.setdefault("POINTFOOT_PROCTERRAIN", "1")
+    CONDITIONS["terrain"] = (
+        "procedural" if os.environ["POINTFOOT_PROCTERRAIN"] == "1"
+        else "table")
     env = task_registry.make_env(task, num_envs=NUM_ENVS)
     state = env.init_state(jax.random.PRNGKey(0))
 

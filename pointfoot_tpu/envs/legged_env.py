@@ -44,6 +44,7 @@ Semantics parity notes (file:line cite the reference):
 
 from __future__ import annotations
 
+import os
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -138,6 +139,11 @@ class LeggedEnv:
                 size=max(2 * side * cfg.env.env_spacing + 20, 60),
                 num_levels=side, num_types=side, spacing=cfg.env.env_spacing,
             )
+        elif cfg.terrain.procedural or os.environ.get(
+                "POINTFOOT_PROCTERRAIN") == "1":
+            from pointfoot_tpu.terrain.procedural import build_procedural
+
+            self.terrain = build_procedural(cfg.terrain, seed=0)
         else:
             self.terrain = build_terrain(cfg.terrain, seed=0)
 

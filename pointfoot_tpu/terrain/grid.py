@@ -60,6 +60,12 @@ class TerrainCfg:
     #   True — reference-exact: full-episode scaling, net-displacement
     #     demotion test (for parity audits / A-B runs).
     reference_exact_demotion: bool = False
+    # Gather-free closed-form terrain (terrain/procedural.py): heights come
+    # from VPU math on a hash of the cell index instead of HBM gathers —
+    # the height scan is the dominant cost of rough-terrain steps on TPU.
+    # Same curriculum structure/statistics, different (hash-based) random
+    # realization than the numpy tables.
+    procedural: bool = False
 
 
 @struct.dataclass
