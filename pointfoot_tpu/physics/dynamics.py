@@ -333,6 +333,21 @@ def assemble_velocity_solve(
     A = M + dt * JtDJ + 1e-6 * jnp.eye(nv, dtype=M.dtype)
     A = A.at[jnp.arange(6, nv), jnp.arange(6, nv)].add(dt * model.joint_damping)
     rhs = M @ u + dt * (tau + Jt_f0 - C)
+    # One-sided implicit brake at the URDF joint-velocity limit.  PhysX
+    # enforces maxJointVelocity INSIDE the solver; a post-hoc state clamp
+    # instead deletes leg momentum after its reaction torque already hit
+    # the base through this very solve — a net angular-momentum injector
+    # (frictionless-DR envs with PD-pumped legs pinned at the limit spun
+    # the base to 75 rad/s; pinned by tests/test_physics_invariants.py::
+    # test_railed_velocity_limits_dont_inject_L).  When the incoming
+    # velocity exceeds the limit, add a stiff implicit damper pulling the
+    # joint to ±vl: 50·M_jj leaves ~2% post-solve excess while the brake
+    # torque's reaction propagates through the mass-matrix coupling.
+    vl = model.velocity_limit
+    brake = jnp.where(jnp.abs(state.qvel) > vl,
+                      50.0 * jnp.diagonal(M)[6:], 0.0)
+    A = A.at[jnp.arange(6, nv), jnp.arange(6, nv)].add(brake)
+    rhs = rhs.at[6:].add(brake * jnp.clip(state.qvel, -vl, vl))
     return A, rhs, terms
 
 
@@ -375,7 +390,11 @@ def finish_step(
     # contact at the 5 ms substep can catapult a deeply-clipped state;
     # 50 m/s is still 10x any legitimate locomotion speed
     lin = jnp.clip(lin, -50.0, 50.0)
-    qvel = jnp.clip(qvel, -model.velocity_limit, model.velocity_limit)
+    # numerical backstop only — the URDF limit itself is enforced by the
+    # implicit brake in assemble_velocity_solve (momentum-consistent);
+    # clamping at 1× here deleted momentum the solve already exchanged
+    qvel = jnp.clip(qvel, -2.0 * model.velocity_limit,
+                    2.0 * model.velocity_limit)
     pos = state.base_pos + dt * lin
     quat = quat_ops.integrate(state.base_quat, ang, dt)
     qpos = state.qpos + dt * qvel

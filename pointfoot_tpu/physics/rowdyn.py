@@ -503,6 +503,16 @@ def substep_rows(mc: ModelConsts, st: Dict, dt: float, gravity: float,
                     A[col_j][col_i] = A[col_i][col_j]
     for j in range(nj):
         A[6 + j][6 + j] = fadd(A[6 + j][6 + j], dt * mc.joint_damping[j])
+    # one-sided implicit velocity-limit brake — keep in lockstep with
+    # dynamics.assemble_velocity_solve (momentum-consistent enforcement;
+    # the old post-solve clamp injected angular momentum)
+    brake_rhs = []
+    for j in range(nj):
+        vl = mc.velocity_limit[j]
+        brake = jnp.where(jnp.abs(qvel[j]) > vl,
+                          fmul(50.0, M[6 + j][6 + j]), 0.0)
+        A[6 + j][6 + j] = fadd(A[6 + j][6 + j], brake)
+        brake_rhs.append(fmul(brake, jnp.clip(qvel[j], -vl, vl)))
     for i in range(nv):
         A[i][i] = fadd(A[i][i], 1e-6)
 
@@ -518,6 +528,8 @@ def substep_rows(mc: ModelConsts, st: Dict, dt: float, gravity: float,
     for i in range(nv):
         rhs[i] = fadd(rhs[i], fmul(dt, fadd(tau_g[i], Jt_f0[i],
                                             fneg(C[i]))))
+    for j in range(nj):
+        rhs[6 + j] = fadd(rhs[6 + j], brake_rhs[j])
 
     # ---- velocity solve
     u_new = chol_solve_rows(A, rhs)
@@ -548,8 +560,9 @@ def substep_rows(mc: ModelConsts, st: Dict, dt: float, gravity: float,
     lin = [jnp.clip(a, -50.0, 50.0) for a in lin]  # see finish_step
     qvel_new = []
     for j in range(nj):
+        # 2x numerical backstop only — see dynamics.finish_step
         vl = mc.velocity_limit[j]
-        qvel_new.append(jnp.clip(u_new[6 + j], -vl, vl))
+        qvel_new.append(jnp.clip(u_new[6 + j], -2.0 * vl, 2.0 * vl))
     new_pos = v_add(st["base_pos"], v_scale(dt, lin))
     # quat integrate: q' = normalize(q + dt/2 [w,0] ⊗ q) (ops/quat.integrate)
     dq = quat_mul([ang[0], ang[1], ang[2], 0.0], st["base_quat"])

@@ -149,6 +149,42 @@ def test_ballistic_internal_torques_dont_change_L(pf_model):
     assert drift < 0.10, f"internal torques changed L by {drift:.1%}"
 
 
+def test_railed_velocity_limits_dont_inject_L(pf_model):
+    """Joints driven INTO their URDF velocity limits in flight: the limit
+    must act as an internal joint brake whose reaction stays inside the
+    articulation, so total L about the CoM is still conserved.  A post-hoc
+    qvel clamp fails this badly — it deletes leg momentum AFTER the
+    reaction torque already hit the base through the velocity solve, a net
+    angular-momentum injector (round-3 flight hunt: frictionless-DR envs
+    with PD-pumped legs pinned at the limit spun the base to 75 rad/s).
+    Reference parity: PhysX enforces maxJointVelocity inside the solver;
+    legged_robot.py:279-298 keeps URDF limits only for the soft reward."""
+    model, params = pf_model
+    model = model.replace(joint_damping=jnp.zeros_like(model.joint_damping))
+    phys = _flight_state(model, jax.random.PRNGKey(3))
+    vl = np.asarray(model.velocity_limit)
+
+    # bang-bang full-effort torque rails every joint at +vl then -vl while
+    # staying clear of the position-limit backstop
+    def tau_fn(p, t):
+        s = jnp.where((t // 12) % 2 == 0, 1.0, -1.0)
+        return s * model.effort_limit
+
+    def body(carry, t):
+        p = carry
+        p = dynamics.step(model, params, p, tau_fn(p, t), FLAT, DT)
+        _, _, L = _com_and_L(model, params, p)
+        return p, (L, p.qvel)
+
+    _, (L, qvel) = jax.lax.scan(body, phys, jnp.arange(72))
+    L, qvel = np.asarray(L), np.asarray(qvel)
+    # the scenario only means anything if the limits actually engage
+    assert (np.abs(qvel).max(axis=0) > 0.9 * vl).all(), "limits never hit"
+    scale = max(np.abs(L[0]).max(), 1e-2)
+    drift = np.abs(L - L[0]).max() / scale
+    assert drift < 0.15, f"velocity-limit handling injected L: {drift:.1%}"
+
+
 # ------------------------------------------------- calibrated contact bands
 
 @pytest.fixture(scope="module")
