@@ -333,22 +333,41 @@ def assemble_velocity_solve(
     A = M + dt * JtDJ + 1e-6 * jnp.eye(nv, dtype=M.dtype)
     A = A.at[jnp.arange(6, nv), jnp.arange(6, nv)].add(dt * model.joint_damping)
     rhs = M @ u + dt * (tau + Jt_f0 - C)
-    # One-sided implicit brake at the URDF joint-velocity limit.  PhysX
-    # enforces maxJointVelocity INSIDE the solver; a post-hoc state clamp
-    # instead deletes leg momentum after its reaction torque already hit
-    # the base through this very solve — a net angular-momentum injector
-    # (frictionless-DR envs with PD-pumped legs pinned at the limit spun
-    # the base to 75 rad/s; pinned by tests/test_physics_invariants.py::
-    # test_railed_velocity_limits_dont_inject_L).  When the incoming
-    # velocity exceeds the limit, add a stiff implicit damper pulling the
-    # joint to ±vl: 50·M_jj leaves ~2% post-solve excess while the brake
-    # torque's reaction propagates through the mass-matrix coupling.
-    vl = model.velocity_limit
-    brake = jnp.where(jnp.abs(state.qvel) > vl,
-                      50.0 * jnp.diagonal(M)[6:], 0.0)
-    A = A.at[jnp.arange(6, nv), jnp.arange(6, nv)].add(brake)
-    rhs = rhs.at[6:].add(brake * jnp.clip(state.qvel, -vl, vl))
     return A, rhs, terms
+
+
+# Joint-limit semantics — a deliberate, measured trade (round 4).
+#
+# Both URDF joint limits are enforced POST-SOLVE, exactly as the gen-1
+# physics every committed policy was trained on:
+#   * velocity: clip(q̇, ±vl) in finish_step (Isaac Gym parity — gymapi
+#     maxJointVelocity is itself a post-solve velocity clamp);
+#   * position: the k_lim=200 soft spring over a 0.2 rad band
+#     (_applied_generalized_force) + hard qpos clip at bound±0.2.
+#
+# Round 4 built and measured the "physically correct" alternative — a
+# two-pass solve with exact active-set engagement from the unconstrained
+# post-solve velocity and stiff implicit in-solve brakes/stops (internal
+# joint torques, momentum-consistent however stiff; see git history at
+# this file).  It conserves L in flight-railing scenarios where the
+# clamps ratchet the base to the ±64 rad/s saturation... and it breaks
+# every trained walking policy.  Policy-parity A/B on the committed
+# model_100000 (levels 0 x vx {0, 0.4}, scripts/eval_policy.py):
+#   gen-1 clamp semantics                ->   2-3 falls (committed eval)
+#   in-solve velocity brake (1e4 diag)   ->  30 falls
+#   in-solve position stops at bounds    -> 164 falls
+#   position stops at the ±0.2 band edge -> 166 falls
+#   both brakes                          -> 345 falls
+# The gait demonstrably rides BOTH clamps (knee clamp mid-swing; clip
+# with preserved pressing velocity at the position band) — the clamps
+# are part of the effective trained dynamics, not numerical backstops.
+# The cost: a clamp that engages deletes joint momentum with no reaction
+# (unphysical); sustained full-effort railing in FLIGHT ratchets base
+# angular momentum (the round-3 75 rad/s flight hunt).  The reference
+# engine shares this behavior class; it is bounded by the ±64 rad/s /
+# ±50 m/s saturations and pinned by tests/test_physics_invariants.py::
+# test_railed_joint_limits_contract, and the clean-regime conservation
+# invariants (ballistic trio) still hold to integrator order.
 
 
 def finish_step(
@@ -390,15 +409,15 @@ def finish_step(
     # contact at the 5 ms substep can catapult a deeply-clipped state;
     # 50 m/s is still 10x any legitimate locomotion speed
     lin = jnp.clip(lin, -50.0, 50.0)
-    # numerical backstop only — the URDF limit itself is enforced by the
-    # implicit brake in assemble_velocity_solve (momentum-consistent);
-    # clamping at 1× here deleted momentum the solve already exchanged
-    qvel = jnp.clip(qvel, -2.0 * model.velocity_limit,
-                    2.0 * model.velocity_limit)
+    # Joint-velocity limit: 1x post-solve clamp — Isaac Gym AND
+    # trained-policy parity (see the joint-limit semantics note above
+    # finish_step's caller section)
+    qvel = jnp.clip(qvel, -model.velocity_limit, model.velocity_limit)
     pos = state.base_pos + dt * lin
     quat = quat_ops.integrate(state.base_quat, ang, dt)
     qpos = state.qpos + dt * qvel
-    # hard backstop slightly outside the soft limit band
+    # hard position stop at the soft-band edge — gen-1 / trained-policy
+    # parity (see the joint-limit semantics note above)
     qpos = jnp.clip(qpos, model.q_lower - 0.2, model.q_upper + 0.2)
     return PhysicsState(
         base_pos=pos, base_quat=quat, base_lin_vel=lin, base_ang_vel=ang,

@@ -455,12 +455,18 @@ def substep_rows(mc: ModelConsts, st: Dict, dt: float, gravity: float,
         vt_norm = jnp.sqrt(jnp.maximum(
             fadd(*[fmul(v_t[r], v_t[r]) for r in range(3)]), 1e-12))
 
-        # depenetration-velocity cap (contact.MAX_DEPENETRATION_VEL — PhysX
-        # parity pointfoot_rough_config.py:210): spring fades to zero as
-        # the point exits at >= 1 m/s; keep in lockstep with
+        # depenetration-velocity cap (contact.MAX_DEPENETRATION_VEL /
+        # contact.PEN_REST — PhysX parity pointfoot_rough_config.py:210):
+        # only the spring of penetration in EXCESS of the 0.05 m
+        # static-rest band fades as the point exits at >= 1 m/s; the band
+        # itself always carries load (stance force is never shed — the
+        # round-3 full-spring fade broke walking).  Keep in lockstep with
         # contact.contact_terms
         s_dep = jnp.clip(1.0 - v_n, 0.0, 1.0)
-        f_n_spring = fmul(fmul(k_c, pen), s_dep)
+        s_band = jnp.clip(1.0 - 2.0 * (v_n - 1.0), 0.0, 1.0)
+        pen_load = jnp.minimum(pen, 0.05)
+        f_n_spring = fmul(k_c, fadd(fmul(pen_load, s_band),
+                                    fmul(fsub(pen, pen_load), s_dep)))
         f_spring = v_scale(jnp.where(active, f_n_spring, 0.0), n)
         d_cap = f_n_spring / jnp.maximum(v_n, 0.05)
         d_n = jnp.where(active, jnp.minimum(d_c, d_cap), 0.0)
@@ -503,16 +509,6 @@ def substep_rows(mc: ModelConsts, st: Dict, dt: float, gravity: float,
                     A[col_j][col_i] = A[col_i][col_j]
     for j in range(nj):
         A[6 + j][6 + j] = fadd(A[6 + j][6 + j], dt * mc.joint_damping[j])
-    # one-sided implicit velocity-limit brake — keep in lockstep with
-    # dynamics.assemble_velocity_solve (momentum-consistent enforcement;
-    # the old post-solve clamp injected angular momentum)
-    brake_rhs = []
-    for j in range(nj):
-        vl = mc.velocity_limit[j]
-        brake = jnp.where(jnp.abs(qvel[j]) > vl,
-                          fmul(50.0, M[6 + j][6 + j]), 0.0)
-        A[6 + j][6 + j] = fadd(A[6 + j][6 + j], brake)
-        brake_rhs.append(fmul(brake, jnp.clip(qvel[j], -vl, vl)))
     for i in range(nv):
         A[i][i] = fadd(A[i][i], 1e-6)
 
@@ -528,10 +524,9 @@ def substep_rows(mc: ModelConsts, st: Dict, dt: float, gravity: float,
     for i in range(nv):
         rhs[i] = fadd(rhs[i], fmul(dt, fadd(tau_g[i], Jt_f0[i],
                                             fneg(C[i]))))
-    for j in range(nj):
-        rhs[6 + j] = fadd(rhs[6 + j], brake_rhs[j])
-
-    # ---- velocity solve
+    # ---- velocity solve (joint limits are enforced post-solve by the
+    # 1x clamp + qpos clip in the finish section — gen-1/trained-policy
+    # parity; see the joint-limit semantics note in dynamics.py)
     u_new = chol_solve_rows(A, rhs)
 
     # ---- finish (dynamics.finish_step): sensors + integrate
@@ -560,9 +555,10 @@ def substep_rows(mc: ModelConsts, st: Dict, dt: float, gravity: float,
     lin = [jnp.clip(a, -50.0, 50.0) for a in lin]  # see finish_step
     qvel_new = []
     for j in range(nj):
-        # 2x numerical backstop only — see dynamics.finish_step
+        # 1x velocity clamp — Isaac + trained-policy parity (see the
+        # joint-limit semantics note in dynamics.py)
         vl = mc.velocity_limit[j]
-        qvel_new.append(jnp.clip(u_new[6 + j], -2.0 * vl, 2.0 * vl))
+        qvel_new.append(jnp.clip(u_new[6 + j], -vl, vl))
     new_pos = v_add(st["base_pos"], v_scale(dt, lin))
     # quat integrate: q' = normalize(q + dt/2 [w,0] ⊗ q) (ops/quat.integrate)
     dq = quat_mul([ang[0], ang[1], ang[2], 0.0], st["base_quat"])
@@ -574,6 +570,8 @@ def substep_rows(mc: ModelConsts, st: Dict, dt: float, gravity: float,
     qpos_new = []
     for j in range(nj):
         qp = st["qpos"][j] + dt * qvel_new[j]
+        # hard position stop at the soft-band edge — keep in lockstep
+        # with dynamics.finish_step (gen-1/trained-policy parity)
         qpos_new.append(jnp.clip(qp, mc.q_lower[j] - 0.2,
                                  mc.q_upper[j] + 0.2))
 

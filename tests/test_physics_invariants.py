@@ -149,40 +149,53 @@ def test_ballistic_internal_torques_dont_change_L(pf_model):
     assert drift < 0.10, f"internal torques changed L by {drift:.1%}"
 
 
-def test_railed_velocity_limits_dont_inject_L(pf_model):
-    """Joints driven INTO their URDF velocity limits in flight: the limit
-    must act as an internal joint brake whose reaction stays inside the
-    articulation, so total L about the CoM is still conserved.  A post-hoc
-    qvel clamp fails this badly — it deletes leg momentum AFTER the
-    reaction torque already hit the base through the velocity solve, a net
-    angular-momentum injector (round-3 flight hunt: frictionless-DR envs
-    with PD-pumped legs pinned at the limit spun the base to 75 rad/s).
-    Reference parity: PhysX enforces maxJointVelocity inside the solver;
-    legged_robot.py:279-298 keeps URDF limits only for the soft reward."""
+def test_railed_joint_limits_contract(pf_model):
+    """Full-effort bang-bang flight rails every joint into its velocity
+    AND position limits.  Pins the joint-limit CONTRACT of the gen-1 /
+    trained-policy-parity semantics (see the joint-limit semantics note
+    in physics/dynamics.py):
+
+    * |q̇| never exceeds the URDF velocity limit (1x post-solve clamp —
+      Isaac Gym's maxJointVelocity is the same mechanism);
+    * qpos never leaves the soft-band backstop at bound±0.2;
+    * the state saturates (|ω| ≤ 64, |v| ≤ 50) instead of exploding —
+      the round-3 flight hunt found frictionless-DR envs ratcheting the
+      base to 75 rad/s; the saturation bounds that pathology so
+      termination can catch it before it poisons a training batch.
+
+    DELIBERATELY NOT asserted: L conservation while the clamps engage.
+    The clamps delete railed joint momentum with no reaction — round 4
+    built the momentum-consistent alternative (two-pass solve, implicit
+    in-solve brakes/stops; git history at physics/dynamics.py) and the
+    policy-parity A/B on the committed model_100000 read 2-3 falls with
+    clamp semantics vs 30 (velocity brake) / 166 (position stops) / 345
+    (both): the trained gait rides both clamps, so they are part of the
+    effective dynamics, matching the reference engine's own clamp
+    behavior.  Conservation in the clean (unrailed) regime is pinned by
+    the ballistic trio above."""
     model, params = pf_model
     model = model.replace(joint_damping=jnp.zeros_like(model.joint_damping))
     phys = _flight_state(model, jax.random.PRNGKey(3))
+    # high drop so 2 s of bang-bang flailing stays airborne
+    phys = phys.replace(base_pos=phys.base_pos.at[2].set(30.0))
     vl = np.asarray(model.velocity_limit)
-
-    # bang-bang full-effort torque rails every joint at +vl then -vl while
-    # staying clear of the position-limit backstop
-    def tau_fn(p, t):
-        s = jnp.where((t // 12) % 2 == 0, 1.0, -1.0)
-        return s * model.effort_limit
 
     def body(carry, t):
         p = carry
-        p = dynamics.step(model, params, p, tau_fn(p, t), FLAT, DT)
-        _, _, L = _com_and_L(model, params, p)
-        return p, (L, p.qvel)
+        s = jnp.where((t // 12) % 2 == 0, 1.0, -1.0)
+        p = dynamics.step(model, params, p, s * model.effort_limit, FLAT, DT)
+        return p, (p.qvel, p.qpos, p.base_ang_vel, p.base_lin_vel)
 
-    _, (L, qvel) = jax.lax.scan(body, phys, jnp.arange(72))
-    L, qvel = np.asarray(L), np.asarray(qvel)
+    _, (qvel, qpos, w, v) = jax.lax.scan(body, phys, jnp.arange(400))
+    qvel, qpos, w, v = (np.asarray(o) for o in (qvel, qpos, w, v))
     # the scenario only means anything if the limits actually engage
     assert (np.abs(qvel).max(axis=0) > 0.9 * vl).all(), "limits never hit"
-    scale = max(np.abs(L[0]).max(), 1e-2)
-    drift = np.abs(L - L[0]).max() / scale
-    assert drift < 0.15, f"velocity-limit handling injected L: {drift:.1%}"
+    assert (np.abs(qvel) <= vl + 1e-4).all(), "velocity clamp breached"
+    assert (qpos <= np.asarray(model.q_upper) + 0.2 + 1e-4).all()
+    assert (qpos >= np.asarray(model.q_lower) - 0.2 - 1e-4).all()
+    assert np.isfinite(qpos).all() and np.isfinite(w).all()
+    assert (np.abs(w) <= 64.0 + 1e-3).all(), "angular saturation breached"
+    assert (np.abs(v) <= 50.0 + 1e-3).all(), "linear saturation breached"
 
 
 # ------------------------------------------------- calibrated contact bands

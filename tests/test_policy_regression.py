@@ -1,0 +1,66 @@
+"""Policy-in-the-loop physics regression gate (VERDICT r3 item 3).
+
+Rolls the newest committed walking checkpoint through the CURRENT physics
+on CPU and asserts gait health within a band of the checkpoint's committed
+eval (logs/pointfoot_rough/tpu_r3_run1/eval_100000.json).  This is the
+sensor every other physics test lacks: the round-3 depenetration-velocity
+cap passed the golden anchor (regenerated), every calibration band, and
+the whole unit suite — while regressing the flagship policy from 3 falls
+to 61 on this exact probe.  Golden anchors ratify whatever physics exists;
+calibration bands exercise statics and dead impacts, not gait.  Only a
+trained policy closing the loop covers the regime training actually
+visits.
+
+Measured signal-to-noise on the 2-config probe (16 envs x 10 s, round-4
+A/B matrix): healthy physics 1-3 falls; every broken variant 26-345.
+The reduced probe here (8 envs x 6 s) keeps CPU cost ~40 s while the
+same breakages measure 10-170 falls — the assert band (falls <= 8,
+tracking >= 0.2 m/s) separates them by an order of magnitude.
+
+When a newer rough checkpoint is committed, append it to CHECKPOINTS
+with its own band instead of replacing the old row — older artifacts
+staying healthy under newer physics is exactly what this gate is for.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+# (task, checkpoint, [(level, vx, max_falls, min_mean_vx)])
+# Bands: committed eval_100000.json reads 2 falls @ (0, 0.0) and 1 fall
+# @ (0, 0.4) with mean_vx 0.32; the reduced 8-env probe scales those to
+# <=2 observed.  max_falls 8 = ~4x headroom, still 5x under the mildest
+# observed breakage.
+CHECKPOINTS = [
+    ("pointfoot_rough", "logs/pointfoot_rough/tpu_r3_run1/model_100000",
+     [(0, 0.0, 8, None), (0, 0.4, 8, 0.20)]),
+]
+
+
+@pytest.mark.parametrize("task,ckpt,configs", CHECKPOINTS,
+                         ids=[c[1].split("/")[-2] for c in CHECKPOINTS])
+def test_committed_policy_still_walks(task, ckpt, configs):
+    path = os.path.join(REPO, ckpt)
+    if not os.path.isdir(path):
+        pytest.skip(f"checkpoint {ckpt} not present")
+    from pointfoot_tpu.utils import policy_eval
+
+    import jax
+    env = policy_eval.make_eval_env(task, num_envs=8)
+    policy = policy_eval.load_policy(env, task, path)
+    step = jax.jit(env.step)
+    failures = []
+    for level, vx, max_falls, min_vx in configs:
+        rec = policy_eval.eval_config(env, policy, step, level, vx,
+                                      secs=6.0)
+        ok = rec["falls"] <= max_falls and (
+            min_vx is None or rec["mean_vx"] >= min_vx)
+        if not ok:
+            failures.append(rec)
+    assert not failures, (
+        "physics regression: committed policy no longer walks: "
+        + json.dumps(failures))
