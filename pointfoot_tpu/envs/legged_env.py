@@ -425,9 +425,18 @@ class LeggedEnv:
         from pointfoot_tpu.ops.pallas import substep as _substep
 
         mesh = getattr(self, "shard_mesh", None)
-        if (jax.devices()[0].platform == "tpu"
+        on_tpu = jax.devices()[0].platform == "tpu"
+        # POINTFOOT_FORCE_KERNEL=1 routes the fused-rollout dispatch on
+        # non-TPU backends too, in Pallas interpret mode — this is how the
+        # multi-chip dryrun / slow tests exercise the sharded mega-kernel
+        # seam inside the FULL PPO iteration without TPU hardware
+        # (VERDICT r3 item 9); shrink _substep._BLOCK via
+        # PALLAS_SUBSTEP_LANE to keep interpret-mode batches small.
+        force = _os.environ.get("POINTFOOT_FORCE_KERNEL") == "1"
+        if ((on_tpu or force)
                 and not self.use_actuator_net
                 and _os.environ.get("POINTFOOT_MEGAKERNEL", "1") == "1"):
+            interp = not on_tpu
             if (jax.device_count() == 1
                     and self.num_envs >= _substep._BLOCK):
                 phys, tau_last, sphere_pos = _substep.rollout_substeps(
@@ -436,7 +445,7 @@ class LeggedEnv:
                     self.cfg.control.decimation, self.default_qpos,
                     self.cfg.control.action_scale,
                     self.cfg.control.control_type,
-                    gravity=self.cfg.sim.gravity)
+                    gravity=self.cfg.sim.gravity, interpret=interp)
                 return phys, tau_last, state.actuator_carry, sphere_pos
             # multi-chip: shard_map the fused rollout over the DP axis so
             # each device runs the mega-kernel on its local shard (pjit
@@ -453,7 +462,7 @@ class LeggedEnv:
                         self.cfg.control.decimation, self.default_qpos,
                         self.cfg.control.action_scale,
                         self.cfg.control.control_type,
-                        gravity=self.cfg.sim.gravity)
+                        gravity=self.cfg.sim.gravity, interpret=interp)
                 return phys, tau_last, state.actuator_carry, sphere_pos
 
         def substep(carry, i):

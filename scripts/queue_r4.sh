@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Round-4 unattended queue (post walking-regression fix, gen-3 physics):
+# rough continuation from the healthy 100k artifact (+50k under the fixed
+# contact + restored gen-1 joint-limit semantics), trained ON the
+# procedural terrain path so the benched configuration IS the trained
+# configuration (VERDICT r3 items 4+5).  Then the eval battery (both
+# terrain paths), GIF refresh, and checkpoint commit.
+set -u
+cd "$(dirname "$0")/.."
+
+ROUGH=logs/pointfoot_rough/tpu_r4_run1
+
+STALE_S=900 bash scripts/train_watchdog.sh "$ROUGH" 150000 \
+  --task=pointfoot_rough --num_envs 4096 --log_every 50 \
+  --override terrain.procedural=true
+last=$(ls "$ROUGH" | grep -E '^model_[0-9]+$' | sed 's/model_//' | sort -n | tail -1)
+if [ -n "${last:-}" ] && [ "$last" -ge 150000 ]; then
+  # eval on BOTH terrain representations: the trained (procedural) one and
+  # the table path (equivalence-tested, different realization)
+  JAX_PLATFORMS=cpu POINTFOOT_PROCTERRAIN=1 timeout 2400 \
+    python scripts/eval_policy.py --task pointfoot_rough \
+    --load_run "$ROUGH/model_$last" \
+    > "$ROUGH/eval_${last}_proc.json" 2>/tmp/eval_r4_proc_err.log
+  JAX_PLATFORMS=cpu timeout 2400 python scripts/eval_policy.py \
+    --task pointfoot_rough --load_run "$ROUGH/model_$last" \
+    > "$ROUGH/eval_${last}_table.json" 2>/tmp/eval_r4_table_err.log
+  JAX_PLATFORMS=cpu POINTFOOT_PROCTERRAIN=1 timeout 2400 \
+    python scripts/make_gif.py --mode policy --task pointfoot_rough \
+    --load_run "$ROUGH/model_$last" --steps 250 \
+    --out docs/walk_rough_policy.gif > /dev/null 2>&1
+  bash scripts/commit_ckpt.sh "$ROUGH" || true
+fi
+echo "[queue_r4] all stages done"
