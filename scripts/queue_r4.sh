@@ -10,7 +10,7 @@ cd "$(dirname "$0")/.."
 
 ROUGH=logs/pointfoot_rough/tpu_r4_run1
 
-STALE_S=900 bash scripts/train_watchdog.sh "$ROUGH" 150000 \
+STALE_S=${STALE_S:-2400} bash scripts/train_watchdog.sh "$ROUGH" 150000 \
   --task=pointfoot_rough --num_envs 4096 --log_every 50 \
   --override terrain.procedural=true
 last=$(ls "$ROUGH" | grep -E '^model_[0-9]+$' | sed 's/model_//' | sort -n | tail -1)

@@ -60,6 +60,19 @@ def main():
     jax.config.update(
         "jax_default_prng_impl",
         {"threefry": "threefry2x32"}.get(args.rng, args.rng))
+    # Persistent compilation cache: a fresh-HLO compile of the 4096-env
+    # train_iteration through the axon tunnel takes many minutes; without
+    # a cache every watchdog relaunch (train_watchdog.sh) pays it again
+    # and can churn against the staleness killer.  Best-effort — plugin
+    # backends without executable serialization just skip caching.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("POINTFOOT_COMPILE_CACHE",
+                           os.path.expanduser("~/.cache/pointfoot_jax")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
 
     from pointfoot_tpu.parallel.mesh import make_mesh, multihost_init
     from pointfoot_tpu.utils.helpers import get_load_path
