@@ -79,18 +79,25 @@ def main_mpc():
 
     tau, xs = tick(phys)
     jax.block_until_ready(tau)
-    t0 = time.perf_counter()
-    for _ in range(TIMED_ITERS):
-        tau, xs = tick(phys)
-    jax.block_until_ready(tau)
-    dt = (time.perf_counter() - t0) / TIMED_ITERS
-    solves_per_sec = B / dt
+    reps = []
+    for _ in range(max(REPS, 1)):
+        t0 = time.perf_counter()
+        for _ in range(TIMED_ITERS):
+            tau, xs = tick(phys)
+        jax.block_until_ready(tau)
+        dt = (time.perf_counter() - t0) / TIMED_ITERS
+        reps.append(B / dt)
+    solves_per_sec = sorted(reps)[len(reps) // 2]
     realtime = B * 50.0
     print(json.dumps({
         "metric": f"srb_mpc_scenario_solves_per_sec@{B}",
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / realtime, 4),
+        "conditions": {**CONDITIONS,
+                       "solver": "pallas" if use_pallas else "xla",
+                       "horizon": ctrl.cfg.horizon,
+                       "reps_solves_per_sec": [round(r, 1) for r in reps]},
     }))
 
 
