@@ -10,9 +10,17 @@ cd "$(dirname "$0")/.."
 
 ROUGH=logs/pointfoot_rough/tpu_r4_run1
 
+# max_lr capped at 2.5e-4: the resume onto the new (procedural) terrain
+# realization destabilized at the stock 1e-3 rail — adaptive-LR climbs
+# during calm stretches, then a high-advantage batch at ~7e-4..1e-3
+# produces KL spikes (up to 91) and the run degrades (noise_std 0.5->0.9,
+# tracking 4.1->2.1 over 114k..114.2k).  save_interval 500 keeps the
+# Orbax writes and disk growth sane (100-iter saves piled 142 ckpts).
 STALE_S=${STALE_S:-2400} bash scripts/train_watchdog.sh "$ROUGH" 150000 \
   --task=pointfoot_rough --num_envs 4096 --log_every 50 \
-  --override terrain.procedural=true
+  --override terrain.procedural=true \
+  --train_override algorithm.max_lr=2.5e-4 \
+  --train_override runner.save_interval=500
 last=$(ls "$ROUGH" | grep -E '^model_[0-9]+$' | sed 's/model_//' | sort -n | tail -1)
 if [ -n "${last:-}" ] && [ "$last" -ge 150000 ]; then
   # eval on BOTH terrain representations: the trained (procedural) one and

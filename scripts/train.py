@@ -38,6 +38,11 @@ def get_args():
                    help="env-config override, repeatable: e.g. "
                         "--override rewards.only_positive_rewards=true "
                         "(reference update_cfg_from_args, helpers.py:127-150)")
+    p.add_argument("--train_override", action="append", default=[],
+                   metavar="GROUP.FIELD=VALUE",
+                   help="train-config override, repeatable: e.g. "
+                        "--train_override algorithm.max_lr=2.5e-4 "
+                        "(same GROUP.FIELD=VALUE syntax as --override)")
     p.add_argument("--mesh", default="auto", choices=["auto", "none"],
                    help="DP device mesh: 'auto' shards the env batch over "
                         "all visible devices when more than one is present")
@@ -113,9 +118,30 @@ def main():
 
         stamp = datetime.datetime.now().strftime("%b%d_%H-%M-%S")
         log_dir = os.path.join("logs", train_cfg.runner.experiment_name, stamp)
+    tc = None
+    if args.train_override:
+        from dataclasses import replace as _dc_replace
+
+        _, tc = task_registry.get_cfgs(args.task)
+        for ov in args.train_override:
+            path_, _, raw = ov.partition("=")
+            group, _, field = path_.partition(".")
+            if not (group and field and raw):
+                raise SystemExit(
+                    f"bad --train_override {ov!r}: want GROUP.FIELD=VALUE")
+            try:
+                val = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                val = {"true": True, "false": False}.get(raw.lower(), raw)
+            sub = getattr(tc, group)
+            tc = _dc_replace(tc, **{group: _dc_replace(sub, **{field: val})})
+        if args.max_iterations is not None:
+            tc = _dc_replace(tc, runner=_dc_replace(
+                tc.runner, max_iterations=args.max_iterations))
     runner = task_registry.make_alg_runner(
-        env, args.task, log_dir=log_dir,
-        max_iterations=args.max_iterations, mesh=mesh)
+        env, args.task, log_dir=log_dir, train_cfg=tc,
+        max_iterations=None if tc is not None else args.max_iterations,
+        mesh=mesh)
     seed = args.seed if args.seed is not None else train_cfg.seed
     iters = (args.max_iterations if args.max_iterations is not None
              else train_cfg.runner.max_iterations)
