@@ -182,8 +182,8 @@ def main_train():
     }))
 
 
-def _bench_env(task, procedural):
-    """Median-of-REPS env-throughput measurement for ONE terrain path."""
+def _bench_env(task, procedural, timed_iters=None, reps=None):
+    """Median-of-reps env-throughput measurement for ONE terrain path."""
     import jax
     import jax.numpy as jnp
 
@@ -245,17 +245,19 @@ def _bench_env(task, procedural):
     # median of REPS independent timing reps: a single rep is vulnerable to
     # transient tunnel contention; the per-rep values go into the JSON so a
     # contended run is visible rather than silently averaged in.
+    timed_iters = TIMED_ITERS if timed_iters is None else timed_iters
+    n_reps = REPS if reps is None else reps
     per_iter_steps = NUM_ENVS * STEPS_PER_ITER
-    reps = []
-    for _ in range(max(REPS, 1)):
+    rep_vals = []
+    for _ in range(max(n_reps, 1)):
         t0 = time.perf_counter()
-        for i in range(TIMED_ITERS):
+        for i in range(timed_iters):
             key, k = jax.random.split(key)
             state, rew = run(state, k)
         jax.block_until_ready(rew)
         elapsed = time.perf_counter() - t0
-        reps.append(per_iter_steps * TIMED_ITERS / elapsed)
-    return sorted(reps)[len(reps) // 2], reps, settles
+        rep_vals.append(per_iter_steps * timed_iters / elapsed)
+    return sorted(rep_vals)[len(rep_vals) // 2], rep_vals, settles
 
 
 def main(task="pointfoot_rough"):
@@ -280,10 +282,13 @@ def main(task="pointfoot_rough"):
     CONDITIONS["settle_iters"] = settles
     CONDITIONS["reps_steps_per_sec"] = [round(r, 1) for r in reps]
     if os.environ.get("BENCH_BOTH_TERRAIN", "1") == "1":
-        table_sps, table_reps, _ = _bench_env(task, procedural=False)
+        # the table leg is an A/B condition, not the headline: one rep at
+        # half the iteration count keeps the driver's bench budget intact
+        # (the leg costs a second compile already)
+        table_sps, table_reps, _ = _bench_env(
+            task, procedural=False,
+            timed_iters=max(TIMED_ITERS // 2, 2), reps=1)
         CONDITIONS["table_steps_per_sec"] = round(table_sps, 1)
-        CONDITIONS["table_reps_steps_per_sec"] = [
-            round(r, 1) for r in table_reps]
     realtime = NUM_ENVS * 50.0  # 50 Hz policy rate (reference control rate)
     print(json.dumps({
         "metric": f"env_steps_per_sec@{NUM_ENVS}envs_{task}",
