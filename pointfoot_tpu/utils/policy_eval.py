@@ -63,6 +63,7 @@ def eval_config(env, policy, step, level, vx_cmd, wz_cmd=0.0, secs=10.0,
     state, out = step(state, jnp.zeros((num_envs, env.num_actions)))
     obs = out.obs
     falls = 0
+    episodes = 0  # episode-ends seen (contact terminations + timeouts)
     vels, wzs = [], []
     skip = min(50, steps // 4)
     for t in range(steps):
@@ -71,6 +72,7 @@ def eval_config(env, policy, step, level, vx_cmd, wz_cmd=0.0, secs=10.0,
         obs = out.obs
         falls += int(np.sum(np.asarray(
             out.extras.get("terminate", out.done))))
+        episodes += int(np.sum(np.asarray(out.done)))
         if t >= skip:
             vb = quat_ops.rotate_inverse(
                 state.physics.base_quat, state.physics.base_lin_vel)
@@ -78,9 +80,19 @@ def eval_config(env, policy, step, level, vx_cmd, wz_cmd=0.0, secs=10.0,
             wb = quat_ops.rotate_inverse(
                 state.physics.base_quat, state.physics.base_ang_vel)
             wzs.append(np.asarray(wb[:, 2]))
+    # falls-per-env-episode (VERDICT r3 weak #8): `falls` sums
+    # terminations over all steps, so an env can fall repeatedly after
+    # auto-reset — fine as a relative gait-health metric but not directly
+    # a rate.  Each env-run contributes max(episodes seen, 1) episodes
+    # (an env that never terminated is one clean episode), so
+    # falls / (episodes_ended + envs_still_running) IS the fraction of
+    # episodes ending in a fall — the quantity "falls <= 5%" bars mean.
+    total_episodes = episodes + num_envs  # + the unfinished final episodes
     return {
         "level": level, "cmd_vx": float(vx_cmd), "falls": falls,
         "envs": num_envs, "secs": float(secs),
+        "episodes": total_episodes,
+        "falls_per_episode": round(falls / max(total_episodes, 1), 4),
         "mean_vx": round(float(np.mean(vels)), 3),
         "cmd_wz": float(wz_cmd),
         "mean_wz": round(float(np.mean(wzs)), 3),
