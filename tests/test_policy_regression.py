@@ -30,27 +30,33 @@ import pytest
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
-# (task, checkpoint, [(level, vx, max_falls, min_mean_vx)])
+# (task, checkpoint, cfg_patch, [(level, vx, max_falls, min_mean_vx)])
 # Bands: committed eval_100000.json reads 2 falls @ (0, 0.0) and 1 fall
 # @ (0, 0.4) with mean_vx 0.32; the reduced 8-env probe scales those to
 # <=2 observed.  max_falls 8 = ~4x headroom, still 5x under the mildest
-# observed breakage.
+# observed breakage.  The 150k flagship is gated on the configuration it
+# trained on (procedural terrain, eval_150000_proc.json: 0-1 falls and
+# mean_vx 0.55-0.73 at cmd 0.4 on these configs).
 CHECKPOINTS = [
     ("pointfoot_rough", "logs/pointfoot_rough/tpu_r3_run1/model_100000",
-     [(0, 0.0, 8, None), (0, 0.4, 8, 0.20)]),
+     None, [(0, 0.0, 8, None), (0, 0.4, 8, 0.20)]),
+    ("pointfoot_rough", "logs/pointfoot_rough/tpu_r4_run1/model_150000",
+     dict(terrain=dict(procedural=True)),
+     [(0, 0.0, 8, None), (0, 0.4, 8, 0.25)]),
 ]
 
 
-@pytest.mark.parametrize("task,ckpt,configs", CHECKPOINTS,
-                         ids=[c[1].split("/")[-2] for c in CHECKPOINTS])
-def test_committed_policy_still_walks(task, ckpt, configs):
+@pytest.mark.parametrize("task,ckpt,patch,configs", CHECKPOINTS,
+                         ids=[c[1].split("/")[-2] + "_" + c[1].split("_")[-1]
+                              for c in CHECKPOINTS])
+def test_committed_policy_still_walks(task, ckpt, patch, configs):
     path = os.path.join(REPO, ckpt)
     if not os.path.isdir(path):
         pytest.skip(f"checkpoint {ckpt} not present")
     from pointfoot_tpu.utils import policy_eval
 
     import jax
-    env = policy_eval.make_eval_env(task, num_envs=8)
+    env = policy_eval.make_eval_env(task, num_envs=8, cfg_patch=patch)
     policy = policy_eval.load_policy(env, task, path)
     step = jax.jit(env.step)
     failures = []
