@@ -16,7 +16,7 @@ unreachable with 5-entry proportions (SURVEY.md quirks #5 — we support all 8).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,15 @@ class TerrainCfg:
     #   True — reference-exact: full-episode scaling, net-displacement
     #     demotion test (for parity audits / A-B runs).
     reference_exact_demotion: bool = False
+    # Curriculum-difficulty DEVIATION (off by default = reference-exact):
+    # cap the stairs_up step height (m).  Round-4 diagnosis
+    # (docs/ROUND4_NOTES.md §2): stairs_up is the single binding family of
+    # the terrain curriculum — reference scaling 0.05+0.18*difficulty
+    # reaches 0.23 m steps, beyond the point-foot biped's demonstrated
+    # climbing envelope, pinning 35% of envs at mean level 2.8 while every
+    # other family sits at 5.2-6.0.  A cap (e.g. 0.12) keeps level
+    # progression meaningful for gait-quality curricula.
+    stairs_up_height_cap: Optional[float] = None
     # Gather-free closed-form terrain (terrain/procedural.py): heights come
     # from VPU math on a hash of the cell index instead of HBM gathers —
     # the height scan is the dominant cost of rough-terrain steps on TPU.
@@ -223,6 +232,10 @@ def _make_subterrain(cfg: TerrainCfg, choice: float, difficulty: float,
         hfgen.random_uniform(hf, hs, rng, -0.05, 0.05, 0.005, 0.2)
     elif choice < p[3]:
         if choice < p[2]:
+            # stairs UP (center lowest, robot climbs outward); optional
+            # height cap — see TerrainCfg.stairs_up_height_cap
+            if cfg.stairs_up_height_cap is not None:
+                step_height = min(step_height, cfg.stairs_up_height_cap)
             step_height = -step_height
         hfgen.pyramid_stairs(hf, hs, step_width=0.31, step_height=step_height,
                              platform_size=3.0)

@@ -79,6 +79,9 @@ class ProcSpec:
     proportions: Tuple[float, ...] = (0.1, 0.1, 0.35, 0.25, 0.2)
     curriculum: bool = True
     seed: int = 0
+    # stairs_up step-height cap (m) — curriculum deviation, None =
+    # reference-exact; see TerrainCfg.stairs_up_height_cap
+    stairs_up_cap: float = -1.0  # <0 disables (dataclass stays hashable)
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -280,7 +283,9 @@ def cell_height(spec: ProcSpec, gi, gj):
         hb = _pyramid_sloped(spec, u, v, slope) + _rough_noise(spec, i, j, u, v)
         h = jnp.where((choice >= p[0]) & (choice < p[1]), hb, h)
     if p[3] > p[1]:  # stairs (up below p[2], down below p[3])
-        sh = jnp.where(choice < p[2], -step_height, step_height)
+        up_h = (jnp.minimum(step_height, spec.stairs_up_cap)
+                if spec.stairs_up_cap >= 0.0 else step_height)
+        sh = jnp.where(choice < p[2], -up_h, step_height)
         hb = _pyramid_stairs(spec, u, v, sh)
         h = jnp.where((choice >= p[1]) & (choice < p[3]), hb, h)
     if p[4] > p[3]:  # discrete obstacles
@@ -387,6 +392,8 @@ def build_procedural(cfg, seed: int = 0) -> ProceduralTerrain:
         proportions=tuple(cfg.terrain_proportions),
         curriculum=cfg.curriculum,
         seed=seed,
+        stairs_up_cap=(-1.0 if cfg.stairs_up_height_cap is None
+                       else float(cfg.stairs_up_height_cap)),
     )
     table = materialize(spec)
     origins = np.zeros((cfg.num_rows, cfg.num_cols, 3), np.float32)
