@@ -34,6 +34,8 @@ from typing import Dict, List, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from pointfoot_tpu.physics.contact import MAX_DEPENETRATION_VEL, PEN_REST
+
 # --------------------------------------------------------------- row algebra
 
 def _isconst(a) -> bool:
@@ -462,9 +464,10 @@ def substep_rows(mc: ModelConsts, st: Dict, dt: float, gravity: float,
         # itself always carries load (stance force is never shed — the
         # round-3 full-spring fade broke walking).  Keep in lockstep with
         # contact.contact_terms
-        s_dep = jnp.clip(1.0 - v_n, 0.0, 1.0)
-        s_band = jnp.clip(1.0 - 2.0 * (v_n - 1.0), 0.0, 1.0)
-        pen_load = jnp.minimum(pen, 0.05)
+        s_dep = jnp.clip(1.0 - v_n / MAX_DEPENETRATION_VEL, 0.0, 1.0)
+        s_band = jnp.clip(1.0 - 2.0 * (v_n / MAX_DEPENETRATION_VEL - 1.0),
+                          0.0, 1.0)
+        pen_load = jnp.minimum(pen, PEN_REST)
         f_n_spring = fmul(k_c, fadd(fmul(pen_load, s_band),
                                     fmul(fsub(pen, pen_load), s_dep)))
         f_spring = v_scale(jnp.where(active, f_n_spring, 0.0), n)

@@ -233,8 +233,12 @@ def _make_subterrain(cfg: TerrainCfg, choice: float, difficulty: float,
     elif choice < p[3]:
         if choice < p[2]:
             # stairs UP (center lowest, robot climbs outward); optional
-            # height cap — see TerrainCfg.stairs_up_height_cap
-            if cfg.stairs_up_height_cap is not None:
+            # height cap — see TerrainCfg.stairs_up_height_cap.  Only a
+            # POSITIVE cap applies (<= 0 / None = reference-exact) — keep
+            # in lockstep with procedural.py's spec.stairs_up_cap guard so
+            # both representations generate the same world for any cfg
+            if (cfg.stairs_up_height_cap is not None
+                    and cfg.stairs_up_height_cap > 0.0):
                 step_height = min(step_height, cfg.stairs_up_height_cap)
             step_height = -step_height
         hfgen.pyramid_stairs(hf, hs, step_width=0.31, step_height=step_height,

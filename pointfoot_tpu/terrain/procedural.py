@@ -79,9 +79,11 @@ class ProcSpec:
     proportions: Tuple[float, ...] = (0.1, 0.1, 0.35, 0.25, 0.2)
     curriculum: bool = True
     seed: int = 0
-    # stairs_up step-height cap (m) — curriculum deviation, None =
-    # reference-exact; see TerrainCfg.stairs_up_height_cap
-    stairs_up_cap: float = -1.0  # <0 disables (dataclass stays hashable)
+    # stairs_up step-height cap (m) — curriculum deviation; only a
+    # POSITIVE value applies (grid.py applies the same guard), <= 0 =
+    # reference-exact (float, not Optional, so the dataclass stays
+    # hashable for jit closure)
+    stairs_up_cap: float = -1.0
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -284,7 +286,7 @@ def cell_height(spec: ProcSpec, gi, gj):
         h = jnp.where((choice >= p[0]) & (choice < p[1]), hb, h)
     if p[3] > p[1]:  # stairs (up below p[2], down below p[3])
         up_h = (jnp.minimum(step_height, spec.stairs_up_cap)
-                if spec.stairs_up_cap >= 0.0 else step_height)
+                if spec.stairs_up_cap > 0.0 else step_height)
         sh = jnp.where(choice < p[2], -up_h, step_height)
         hb = _pyramid_stairs(spec, u, v, sh)
         h = jnp.where((choice >= p[1]) & (choice < p[3]), hb, h)

@@ -93,16 +93,20 @@ def main():
 
     import ast
 
-    cfg_patch = {}
-    for ov in args.override:
+    def parse_override(ov, flag):
         path, _, raw = ov.partition("=")
         group, _, field = path.partition(".")
         if not (group and field and raw):
-            raise SystemExit(f"bad --override {ov!r}: want GROUP.FIELD=VALUE")
+            raise SystemExit(f"bad {flag} {ov!r}: want GROUP.FIELD=VALUE")
         try:
             val = ast.literal_eval(raw)
         except (ValueError, SyntaxError):
             val = {"true": True, "false": False}.get(raw.lower(), raw)
+        return group, field, val
+
+    cfg_patch = {}
+    for ov in args.override:
+        group, field, val = parse_override(ov, "--override")
         cfg_patch.setdefault(group, {})[field] = val
 
     env = task_registry.make_env(args.task, num_envs=args.num_envs,
@@ -124,20 +128,14 @@ def main():
 
         _, tc = task_registry.get_cfgs(args.task)
         for ov in args.train_override:
-            path_, _, raw = ov.partition("=")
-            group, _, field = path_.partition(".")
-            if not (group and field and raw):
-                raise SystemExit(
-                    f"bad --train_override {ov!r}: want GROUP.FIELD=VALUE")
-            try:
-                val = ast.literal_eval(raw)
-            except (ValueError, SyntaxError):
-                val = {"true": True, "false": False}.get(raw.lower(), raw)
+            group, field, val = parse_override(ov, "--train_override")
             sub = getattr(tc, group)
             tc = _dc_replace(tc, **{group: _dc_replace(sub, **{field: val})})
         if args.max_iterations is not None:
             tc = _dc_replace(tc, runner=_dc_replace(
                 tc.runner, max_iterations=args.max_iterations))
+        # the overridden config IS the config of record from here on
+        train_cfg = tc
     runner = task_registry.make_alg_runner(
         env, args.task, log_dir=log_dir, train_cfg=tc,
         max_iterations=None if tc is not None else args.max_iterations,
