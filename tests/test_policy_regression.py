@@ -43,6 +43,10 @@ CHECKPOINTS = [
     ("pointfoot_rough", "logs/pointfoot_rough/tpu_r4_run1/model_150000",
      dict(terrain=dict(procedural=True)),
      [(0, 0.0, 8, None), (0, 0.4, 8, 0.25)]),
+    # flat recal artifact: 0 falls on every config, vx 0.5 -> 0.64
+    # (eval_55000.json); level None = plane terrain
+    ("pointfoot_flat", "logs/pointfoot_flat/tpu_r4_ft/model_55000",
+     None, [(None, 0.5, 4, 0.35)]),
 ]
 
 
