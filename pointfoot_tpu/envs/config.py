@@ -113,6 +113,14 @@ class RewardsCfg:
 
     scales: Tuple[Tuple[str, float], ...] = ()
     only_positive_rewards: bool = False
+    # finite-garbage guard band on the per-step total reward (and per-term
+    # sums), NOT reference semantics (the reference has no clip).  Healthy
+    # per-step magnitudes are O(1) (scales are dt-premultiplied).  Round-4
+    # observation: rare clip-magnitude steps are exactly what ignites the
+    # value-loss storms that destabilize long rough runs (vloss ~ clip**2;
+    # docs/ROUND4_NOTES.md §0 thread 0) — tightening this band (e.g. 20.0,
+    # still ~10-50x any legitimate step) is the first mitigation to A/B.
+    clip_reward: float = 100.0
     tracking_sigma: float = 0.25
     soft_dof_pos_limit: float = 0.97
     soft_dof_vel_limit: float = 0.9

@@ -678,16 +678,20 @@ class LeggedEnv:
         # zero their rewards entirely (nan_to_num alone maps inf to 3.4e38,
         # which still poisons GAE), and clamp the rest defensively
         reward = jnp.where(bad, 0.0, jnp.nan_to_num(reward))
-        # +-100 (~50x any legitimate per-step magnitude; scales are
-        # dt-premultiplied so healthy per-step terms are O(1)).  The old
-        # +-1e4 band let finite-but-huge rewards from kicked envs (deep-
-        # penetration spring impulses) through: one storm of them drove
-        # value_loss from ~3 to 1e8 at ~88k iters and the poisoned critic
-        # took the policy down with it (entropy runaway; metrics.jsonl).
-        reward = jnp.clip(reward, -100.0, 100.0)
+        # cfg.rewards.clip_reward (default 100 ~ 50x any legitimate
+        # per-step magnitude; scales are dt-premultiplied so healthy
+        # per-step terms are O(1)).  The old +-1e4 band let finite-but-
+        # huge rewards from kicked envs (deep-penetration spring
+        # impulses) through: one storm of them drove value_loss from ~3
+        # to 1e8 at ~88k iters and the poisoned critic took the policy
+        # down with it (entropy runaway; metrics.jsonl).  See the cfg
+        # field note: clip-magnitude steps are the value-loss-storm
+        # ignition observed in long round-4 runs.
+        clip_r = self.cfg.rewards.clip_reward
+        reward = jnp.clip(reward, -clip_r, clip_r)
         term_values = jnp.where(bad[:, None], 0.0,
                                 jnp.nan_to_num(term_values))
-        term_values = jnp.clip(term_values, -100.0, 100.0)
+        term_values = jnp.clip(term_values, -clip_r, clip_r)
         episode_sums = state.episode_sums + term_values
         state = state.replace(episode_sums=episode_sums)
 
