@@ -115,12 +115,16 @@ class RewardsCfg:
     only_positive_rewards: bool = False
     # finite-garbage guard band on the per-step total reward (and per-term
     # sums), NOT reference semantics (the reference has no clip).  Healthy
-    # per-step magnitudes are O(1) (scales are dt-premultiplied).  Round-4
-    # observation: rare clip-magnitude steps are exactly what ignites the
-    # value-loss storms that destabilize long rough runs (vloss ~ clip**2;
-    # docs/ROUND4_NOTES.md §0 thread 0) — tightening this band (e.g. 20.0,
-    # still ~10-50x any legitimate step) is the first mitigation to A/B.
-    clip_reward: float = 100.0
+    # per-step magnitudes are O(1) (scales are dt-premultiplied), so 20 is
+    # still ~10-50x any legitimate step.  Rare clip-magnitude steps are the
+    # measured ignition of the value-loss storms that destabilize long
+    # rough runs (vloss ~ clip**2); the storm-window A/B (100 vs 20,
+    # docs/ROUND4_NOTES.md §0) showed 20 damps value_loss max 11,428→846
+    # with tracking maintained, and the 115k→200k+ continuation trained
+    # under 20 stayed calm throughout.  Default promoted 100→20 in round 5
+    # (VERDICT r4 item 3); every artifact committed before tpu_r4_storm
+    # trained under 100 (run_config.jsonl is the config-of-record).
+    clip_reward: float = 20.0
     tracking_sigma: float = 0.25
     soft_dof_pos_limit: float = 0.97
     soft_dof_vel_limit: float = 0.9

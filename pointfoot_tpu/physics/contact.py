@@ -48,6 +48,14 @@ from pointfoot_tpu.physics.model import PhysicsParams, RobotModel
 # launch — observed poisoning the critic with +/-100-clipped reward storms
 # and collapsing otherwise-healthy training runs (docs/ROUND3_NOTES.md
 # item 6).  Both constants in lockstep with rowdyn.py.
+#
+# BOUNDED DEVIATION from the 1.0 parity value: the static-rest band only
+# fades over v_n ∈ [1.0, 1.5] m/s, so a deeply buried state can exit at
+# up to ~1.5 m/s — 1.5x the PhysX cap, by design (riding the band's
+# ~600 N over meters of travel would otherwise re-create the catapult).
+# Ordinary gait never reaches the band's fade (micro-rebound < 1 m/s and
+# always under full load); the worst case exists only for deep tunnels.
+# See PARITY.md contact gap #4.
 MAX_DEPENETRATION_VEL = 1.0  # m/s
 # Static-rest band: full-robot weight on one foot is W/k ~ 15 mm at the
 # nominal k = 1.2e4 N/m; dynamic touchdown peaks (~2-3x W) reach ~0.04 m

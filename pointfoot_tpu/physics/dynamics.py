@@ -248,8 +248,11 @@ def _applied_generalized_force(
     # the reference sets via dof_props["friction"][i] (point_foot.py:103-108);
     # viscous joint damping is implicit
     tau = tau.at[6:].add(-params.joint_friction * jnp.tanh(state.qvel / 0.05))
-    # joint-limit compliance (PhysX enforces hard limits; we use a stiff
-    # one-sided spring, cf. reference dof_pos_limits handling)
+    # joint-limit position compliance: stiff one-sided spring over the
+    # out-of-bound band (the in-solve half of the limit semantics; the
+    # authoritative statement of limit handling — and why it is post-solve
+    # clamps, decided by the trained-policy A/B rather than any claim
+    # about PhysX internals — is the block comment above finish_step)
     k_lim = 200.0
     over = jnp.maximum(state.qpos - model.q_upper, 0.0)
     under = jnp.maximum(model.q_lower - state.qpos, 0.0)
@@ -338,10 +341,13 @@ def assemble_velocity_solve(
 
 # Joint-limit semantics — a deliberate, measured trade (round 4).
 #
-# Both URDF joint limits are enforced POST-SOLVE, exactly as the gen-1
-# physics every committed policy was trained on:
-#   * velocity: clip(q̇, ±vl) in finish_step (Isaac Gym parity — gymapi
-#     maxJointVelocity is itself a post-solve velocity clamp);
+# AUTHORITATIVE STATEMENT of joint-limit semantics (supersedes any older
+# per-line claim about PhysX internals — PhysX/Isaac Gym is closed
+# source, and what its solver does inside is not verifiable from here;
+# the decisive evidence is the trained-policy A/B below, not an engine
+# claim).  Both URDF joint limits are enforced POST-SOLVE, exactly as
+# the gen-1 physics every committed policy was trained on:
+#   * velocity: clip(q̇, ±vl) in finish_step;
 #   * position: the k_lim=200 soft spring over a 0.2 rad band
 #     (_applied_generalized_force) + hard qpos clip at bound±0.2.
 #

@@ -64,6 +64,7 @@ def eval_config(env, policy, step, level, vx_cmd, wz_cmd=0.0, secs=10.0,
     obs = out.obs
     falls = 0
     episodes = 0  # episode-ends seen (contact terminations + timeouts)
+    done_now = np.zeros(num_envs, dtype=bool)
     vels, wzs = [], []
     skip = min(50, steps // 4)
     for t in range(steps):
@@ -72,7 +73,8 @@ def eval_config(env, policy, step, level, vx_cmd, wz_cmd=0.0, secs=10.0,
         obs = out.obs
         falls += int(np.sum(np.asarray(
             out.extras.get("terminate", out.done))))
-        episodes += int(np.sum(np.asarray(out.done)))
+        done_now = np.asarray(out.done)
+        episodes += int(np.sum(done_now))
         if t >= skip:
             vb = quat_ops.rotate_inverse(
                 state.physics.base_quat, state.physics.base_lin_vel)
@@ -83,11 +85,13 @@ def eval_config(env, policy, step, level, vx_cmd, wz_cmd=0.0, secs=10.0,
     # falls-per-env-episode (VERDICT r3 weak #8): `falls` sums
     # terminations over all steps, so an env can fall repeatedly after
     # auto-reset — fine as a relative gait-health metric but not directly
-    # a rate.  Each env-run contributes max(episodes seen, 1) episodes
-    # (an env that never terminated is one clean episode), so
-    # falls / (episodes_ended + envs_still_running) IS the fraction of
-    # episodes ending in a fall — the quantity "falls <= 5%" bars mean.
-    total_episodes = episodes + num_envs  # + the unfinished final episodes
+    # a rate.  Each env-run contributes its ended episodes plus, for envs
+    # whose final step did NOT end an episode, the one still in flight —
+    # so falls / (episodes_ended + envs_mid_episode) IS the fraction of
+    # episodes ending in a fall, without double-counting an env whose
+    # episode ended exactly on the last step (advisor r4).
+    still_running = num_envs - int(np.sum(done_now))
+    total_episodes = episodes + still_running
     return {
         "level": level, "cmd_vx": float(vx_cmd), "falls": falls,
         "envs": num_envs, "secs": float(secs),

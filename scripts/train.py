@@ -116,12 +116,6 @@ def main():
             f"--num_envs {env.num_envs} must divide the mesh size "
             f"{mesh.size}")
     _, train_cfg = task_registry.get_cfgs(args.task)
-    log_dir = args.log_dir
-    if log_dir is None:
-        import datetime
-
-        stamp = datetime.datetime.now().strftime("%b%d_%H-%M-%S")
-        log_dir = os.path.join("logs", train_cfg.runner.experiment_name, stamp)
     tc = None
     if args.train_override:
         from dataclasses import replace as _dc_replace
@@ -136,6 +130,15 @@ def main():
                 tc.runner, max_iterations=args.max_iterations))
         # the overridden config IS the config of record from here on
         train_cfg = tc
+    # default log_dir from the POST-override config, so
+    # `--train_override runner.experiment_name=X` logs under X
+    # (advisor r4: it used to silently log under the original name)
+    log_dir = args.log_dir
+    if log_dir is None:
+        import datetime
+
+        stamp = datetime.datetime.now().strftime("%b%d_%H-%M-%S")
+        log_dir = os.path.join("logs", train_cfg.runner.experiment_name, stamp)
     runner = task_registry.make_alg_runner(
         env, args.task, log_dir=log_dir, train_cfg=tc,
         max_iterations=None if tc is not None else args.max_iterations,

@@ -74,6 +74,22 @@ while true; do
       kill -9 "$PID" 2>/dev/null
       break
     fi
+    # Storm guard (VERDICT r4 item 3): alarm on the recorded value-loss
+    # storm signature (scripts/storm_guard.py; writes LOG_DIR/STORM_ALARM).
+    # STORM_HALT=1 additionally stops the run so a human (or queue script)
+    # can resume from a pre-storm checkpoint instead of training on.
+    guard_out=$(python "$(dirname "$0")/storm_guard.py" "$LOG_DIR" 2>/dev/null)
+    guard_rc=$?
+    if [ "$guard_rc" -eq 1 ]; then
+      echo "[watchdog] $guard_out"
+      if [ "${STORM_HALT:-0}" = 1 ]; then
+        echo "[watchdog] STORM_HALT=1 — halting trainer $PID"
+        kill "$PID" 2>/dev/null
+        sleep 5
+        kill -9 "$PID" 2>/dev/null
+        exit 3
+      fi
+    fi
     sleep "$POLL_S"
   done
   wait "$PID" 2>/dev/null
