@@ -126,6 +126,18 @@ class RewardsCfg:
     # trained under 100 (run_config.jsonl is the config-of-record).
     clip_reward: float = 20.0
     tracking_sigma: float = 0.25
+    # Command-relative tracking width (round-5 deviation knob, default OFF
+    # = reference-exact).  The reference's fixed width exp(-err^2/0.25)
+    # (point_foot.py:1131-1140) gives <15% of max gradient at |err|~0.2,
+    # so sub-10% error at small commands is structurally weakly selected —
+    # measured as +38-80% overshoot at cmd 0.4 and the flat 45k/55k
+    # calibration split (PARITY.md).  With tracking_rel_vref = v > 0 the
+    # lin-vel tracking width scales as
+    #   sigma_eff = sigma * clip(|cmd|^2 / v^2, 0.04, 1)
+    # making the reward equally selective in RELATIVE error at every
+    # command magnitude (at |cmd|=v it is reference-exact; the 0.04 floor
+    # bounds the sharpness at stand-still).  A/B'd like the stairs cap.
+    tracking_rel_vref: float = 0.0
     soft_dof_pos_limit: float = 0.97
     soft_dof_vel_limit: float = 0.9
     soft_torque_limit: float = 0.8

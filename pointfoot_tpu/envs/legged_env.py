@@ -1098,9 +1098,14 @@ def _reward_torque_limits(env, ctx):
 
 
 def _reward_tracking_lin_vel(env, ctx):
-    err = jnp.sum(jnp.square(
-        ctx["state"].commands[:, :2] - ctx["base_lin_vel"][:, :2]), axis=-1)
-    return jnp.exp(-err / env.cfg.rewards.tracking_sigma)
+    cmd = ctx["state"].commands[:, :2]
+    err = jnp.sum(jnp.square(cmd - ctx["base_lin_vel"][:, :2]), axis=-1)
+    sigma = env.cfg.rewards.tracking_sigma
+    vref = env.cfg.rewards.tracking_rel_vref
+    if vref > 0.0:  # trace-time constant; 0 = reference-exact fixed width
+        sigma = sigma * jnp.clip(
+            jnp.sum(jnp.square(cmd), axis=-1) / (vref * vref), 0.04, 1.0)
+    return jnp.exp(-err / sigma)
 
 
 def _reward_tracking_ang_vel(env, ctx):
