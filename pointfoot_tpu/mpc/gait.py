@@ -173,8 +173,32 @@ class GaitConfig:
     stance_bias_comp: float = 1.0
     # joint-space posture spring on stance legs toward default_qpos:
     # regularizes heavy-legged robots away from the knee singularity the
-    # task-space controllers cannot escape.  0 = off (biped default)
-    kp_posture: float = 0.0
+    # task-space controllers cannot escape — and, on the 3-DOF-per-leg
+    # point-foot biped, unwinds the stance-leg wind-up that sustained
+    # yawing otherwise accumulates (no hip-yaw DOF: base yaw over a
+    # planted point foot must be absorbed by abd/hip/knee; measured at
+    # wz 0.5: joints drift to ~0.9-1.1 rad, the legs fold, and base z
+    # erodes 0.62 -> 0.38 over 5 s).  60 restores flat height (min z
+    # 0.614) AND lifts yaw-rate tracking 75% -> 91% (round-5 A/B; pinned
+    # by test_biped_turns_closed_loop).  Quadruped stacks override this
+    # per-robot in make_controller (their trot tuning predates the
+    # default change and is preserved explicitly).
+    kp_posture: float = 60.0
+    # STARTUP RAMP on the posture spring: kp_eff ramps 0 -> kp_posture
+    # over the first posture_ramp_s seconds after init, so the spring
+    # cannot fight an initialization transient (perturbed-start recovery
+    # lives in the first ~1.5 s).  0 = full-on from t=0 (cassie, whose
+    # crouch-prevention spring predates the ramp).
+    posture_ramp_s: float = 1.5
+    # (Rejected alternates, measured round 5: with a 3-DOF point-foot
+    # leg J^T is square — no stance null space — so any posture torque
+    # perturbs the realized ground force (~30 N GRF error at kp 60 x
+    # 0.3 rad), which is why the ramp gates by TIME rather than by
+    # state: a joint-angle deadband lost the yaw win (0.91 -> 0.66) and
+    # the step climb; a velocity-error fade lost those AND the
+    # perturbed battery; a double-support-only gate — redundant forces
+    # could in principle absorb the torque — chattered at contact rate
+    # and failed every scenario (turns min z 0.28, step 0/4).)
     # contact schedule over the SRB horizon (Di Carlo 2018 convex-MPC
     # formulation): gate the force columns per horizon step from the gait
     # clock's FUTURE stance masks, with swing feet planned at their step
@@ -193,6 +217,7 @@ class GaitState(NamedTuple):
     v_int: jax.Array  # (B, 3) integrated velocity error (placement trim)
     cmd_f: jax.Array  # (B, 3) slew-limited command actually tracked
     ground_z: jax.Array  # (B,) latched ground height from loaded feet
+    t: jax.Array  # (B,) seconds since init (posture-spring startup ramp)
 
 
 def _leg_phase(phase, leg_offset):
@@ -294,7 +319,7 @@ def make_controller(robot: str, height_fn=None, gait_overrides=None,
         offsets = (0.0, 0.5, 0.5, 0.0)  # FR FL RR RL trot
         gkw = dict(anchor="hip", horizon_schedule=True, k_raibert=0.166,
                    swing_height=0.06, kp_cart=600.0, kd_cart=20.0,
-                   k_int=0.0)
+                   k_int=0.0, kp_posture=0.0)  # trot tuned without it
         skw = dict(height_target=z0, w_force_tangent=3e-3, f_max=200.0,
                    w_orient=100.0, w_omega=5.0)
     elif robot in ("anymal_c", "anymal_b"):
@@ -310,7 +335,8 @@ def make_controller(robot: str, height_fn=None, gait_overrides=None,
         gkw = dict(anchor="hip", horizon_schedule=True,
                    k_raibert=round((z0 / 9.81) ** 0.5, 3),
                    period=0.5, swing_height=0.08, kp_cart=600.0,
-                   kd_cart=20.0, k_int=0.1)
+                   kd_cart=20.0, k_int=0.1,
+                   kp_posture=0.0)  # trot tuned without it
         skw = dict(height_target=z0, w_force_tangent=3e-3,
                    f_max=500.0 if robot == "anymal_c" else 300.0,
                    w_orient=100.0, w_omega=5.0, w_vel=50.0)
@@ -324,7 +350,10 @@ def make_controller(robot: str, height_fn=None, gait_overrides=None,
         z0, ctrl_dt, substeps, offsets = 0.8516, 0.005, 1, None
         gkw = dict(k_raibert=0.295, period=0.4, swing_height=0.06,
                    kp_cart=600.0, kd_cart=20.0, k_int=0.1,
-                   kp_posture=100.0, y_off=0.13)
+                   # spring always full-on: the cassie null-space crouch
+                   # it prevents was tuned pre-ramp (6-DOF legs DO have
+                   # a stance null space)
+                   kp_posture=100.0, posture_ramp_s=0.0, y_off=0.13)
         skw = dict(height_target=z0, w_force_tangent=3e-3, f_max=400.0,
                    w_orient=100.0, w_omega=5.0)
     else:
@@ -413,6 +442,7 @@ class SteppingController:
             v_int=jnp.zeros((batch, 3)),
             cmd_f=jnp.zeros((batch, 3)),
             ground_z=jnp.min(fp[..., 2], axis=-1),
+            t=jnp.zeros(batch),
         )
 
     # ------------------------------------------------------------------
@@ -459,7 +489,8 @@ class SteppingController:
         """
         g = self.gait
 
-        def one(p, cmd, phase, liftoff, target, v_int, cmd_f, gz_prev):
+        def one(p, cmd, phase, liftoff, target, v_int, cmd_f, gz_prev,
+                t_env):
             # slew-limit the tracked command: a step to 0.4 m/s from rest
             # excites the startup transient that tips the biped; ramping at
             # cmd_slew keeps the capture steps within reach
@@ -579,9 +610,39 @@ class SteppingController:
             anchor = anchor_xy.at[:, 2].set(ground_z)
             tgt = anchor + offset[None, :]
             if self.height_fn is not None:
-                # step-target z from the terrain under the target xy (the
-                # latched ground_z is only the height under the CURRENT
-                # support, wrong across slopes/steps)
+                # EDGE-AWARE placement (round 5): a foot set down ON a
+                # height discontinuity (the 5 cm ledge lip) lands
+                # half-supported and the stance collapses — measured to
+                # fail ~half of phase-decorrelated approaches regardless
+                # of posture tuning.  Probe the terrain +-delta along the
+                # walk direction; if the gap exceeds edge_thresh, shift
+                # the target onto whichever side matches the height at
+                # the target itself (i.e. AWAY from the lip, not across
+                # it).  MIT vision-MPC practice (footstep adjustment off
+                # edges), here from the same height_fn the swing already
+                # queries — no new sensing.
+                delta, edge_thresh = 0.06, 0.03
+                dir_xy = v_cmd_w[:2] / jnp.maximum(
+                    jnp.linalg.norm(v_cmd_w[:2]), 1e-6)
+                xf = tgt[:, 0] + delta * dir_xy[0]
+                yf = tgt[:, 1] + delta * dir_xy[1]
+                xb = tgt[:, 0] - delta * dir_xy[0]
+                yb = tgt[:, 1] - delta * dir_xy[1]
+                h_c = self.height_fn(tgt[:, 0], tgt[:, 1])
+                h_f = self.height_fn(xf, yf)
+                h_b = self.height_fn(xb, yb)
+                on_edge = jnp.abs(h_f - h_b) > edge_thresh
+                # shift toward the side whose height matches the target's
+                shift = jnp.where(
+                    jnp.abs(h_c - h_f) <= jnp.abs(h_c - h_b),
+                    delta, -delta)
+                tgt = tgt.at[:, 0].add(
+                    jnp.where(on_edge, shift * dir_xy[0], 0.0))
+                tgt = tgt.at[:, 1].add(
+                    jnp.where(on_edge, shift * dir_xy[1], 0.0))
+                # step-target z from the terrain under the (adjusted)
+                # target xy (the latched ground_z is only the height
+                # under the CURRENT support, wrong across slopes/steps)
                 tgt = tgt.at[:, 2].set(
                     self.height_fn(tgt[:, 0], tgt[:, 1]))
 
@@ -676,9 +737,17 @@ class SteppingController:
                     swing_mask_j = swing_mask_j.at[j].add(1.0 - stance[k])
             stance_mask_j = jnp.minimum(stance_mask_j, 1.0)
             swing_mask_j = jnp.minimum(swing_mask_j, 1.0)
+            # posture spring with startup ramp (GaitConfig.posture_ramp_s):
+            # a steady-state wind-up regularizer that stays out of the
+            # way of initialization/recovery transients
+            if g.posture_ramp_s > 0.0:
+                kp_post = g.kp_posture * jnp.clip(
+                    t_env / g.posture_ramp_s, 0.0, 1.0)
+            else:
+                kp_post = g.kp_posture
             tau = tau + stance_mask_j * (
                 g.stance_bias_comp * C[6:]
-                + g.kp_posture * (self.default_qpos - p.qpos)
+                + kp_post * (self.default_qpos - p.qpos)
                 - self.srb.kd_stance * p.qvel)
 
             # swing torques: task-space PD along the swing trajectory.
@@ -757,10 +826,10 @@ class SteppingController:
 
         tau, phase, liftoff, target, v_int, cmd_f, gz, dbg = jax.vmap(one)(
             phys, command, gait.phase, gait.liftoff_pos, gait.target_pos,
-            gait.v_int, gait.cmd_f, gait.ground_z)
+            gait.v_int, gait.cmd_f, gait.ground_z, gait.t)
         new_gait = GaitState(phase=phase, liftoff_pos=liftoff,
                              target_pos=target, v_int=v_int, cmd_f=cmd_f,
-                             ground_z=gz)
+                             ground_z=gz, t=gait.t + self.dt)
         if debug:
             return tau, new_gait, dbg
         return tau, new_gait

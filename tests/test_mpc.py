@@ -108,19 +108,21 @@ def test_ilqr_batched_vmap():
 
 
 @pytest.mark.slow
-@pytest.mark.xfail(
-    strict=False,
-    reason="Marginal closed-loop acceptance scenario that fails on this "
-    "host on EVERY commit checked back to its own era (2d96cdc, 314f739, "
-    "b3ca6d9, d505f6f, HEAD; cached AND fresh XLA compile caches) — "
-    "round-4 bisect evidence in docs/ROUND4_NOTES.md §4.  The underlying "
-    "gait/MPC stack is healthy at HEAD (scripts/gait_diag.py walks 5 s "
-    "clean; SRB-MPC bench 7.3x real-time); the bound is host-numerics "
-    "sensitive.  Follow-up: re-tune the scenario margins under gen-3 "
-    "physics on the canonical host.")
 def test_mpc_pointfoot_balance():
     """Receding-horizon MPC keeps the biped upright for 1 s of sim time —
-    the capability the RL policy learns, produced by direct optimization."""
+    the capability the RL policy learns, produced by direct optimization.
+
+    Round-5 re-tune under gen-3 physics (VERDICT r4 item 4): the old
+    scenario (iterations=3, reg_init=1.0, base_height weight 10) was not
+    host-marginal but solver-starved — from the zero warm start three
+    LM-regularized iterations per tick never find standing torques
+    (~0.1-0.8 Nm commanded; the robot sinks under gravity to z=0.107,
+    deterministically).  The diagnosed fix is solver strength + a stiffer
+    height cost: iterations=5 with reg_init=0.1 and base_height=50 STANDS
+    at z 0.62-0.67 for the whole scenario (measured round-5 A/B:
+    3it/reg1/bh10 -> 0.107; 8it/reg1/bh10 -> crouch 0.30; 6it -> 0.145;
+    5it/reg0.1/bh50 -> 0.67), so the bounds below are tight, not
+    margin-shaved."""
     from pointfoot_tpu.mpc.controller import MPCController
     from pointfoot_tpu.mpc.costs import CostWeights
     from pointfoot_tpu.physics.assets import get_model
@@ -139,8 +141,8 @@ def test_mpc_pointfoot_balance():
     # the plan sinks (min z 0.06 at substeps=1 vs 0.15 here)
     ctrl = MPCController(
         model, params, FLAT, default_qpos,
-        weights=CostWeights(),
-        cfg=ILQRConfig(horizon=15, iterations=3, reg_init=1.0),
+        weights=CostWeights(base_height=50.0),
+        cfg=ILQRConfig(horizon=15, iterations=5, reg_init=0.1),
         dt=0.02, substeps=4)
 
     B = 2
@@ -162,11 +164,12 @@ def test_mpc_pointfoot_balance():
     (phys, _), (zs, costs) = jax.lax.scan(
         control_step, (phys, mpc_state), None, length=50)
     zs = np.asarray(zs)
-    # never falls over: an uncontrolled point-foot biped tips within ~1 s
-    # (see test_dynamics drop test: ends lying at z~0.12 with large tilt);
-    # under MPC it stays upright and standing (crouched is acceptable)
-    assert zs.min() > 0.1, zs.min()
-    assert float(phys.base_pos[0, 2]) > 0.2
+    # stays STANDING, not merely un-fallen: an uncontrolled point-foot
+    # biped tips within ~1 s (test_dynamics drop test ends lying at
+    # z~0.12); the re-tuned solve holds z 0.62-0.67 throughout (measured
+    # min 0.616 / final 0.672 — bounds leave >0.2 m of margin)
+    assert zs.min() > 0.40, zs.min()
+    assert float(phys.base_pos[0, 2]) > 0.50
     assert abs(float(phys.base_quat[0, 3])) > 0.95
     assert np.isfinite(np.asarray(costs)).all()
 
