@@ -119,16 +119,39 @@ def main_mpc_ilqr():
     ctrl = MPCController(
         model, params, flat, np.zeros(6, np.float32),
         cfg=ILQRConfig(horizon=25, iterations=2, reg_init=1.0), dt=0.02)
+    # Batch chunking (VERDICT r4 item 5): the monolithic vmap at B=4096
+    # times out the remote XLA compile (>40 min; ROUND4_NOTES §2e) while
+    # B<=1024 compiles fine — so compile the <=CHUNK-wide program once and
+    # lax.map it over B/CHUNK slabs.  Same math, same total FLOPs; compile
+    # cost is the 1024-wide program's.
+    CHUNK = min(B, int(os.environ.get("BENCH_ILQR_CHUNK", "1024")))
+    n_chunks = B // CHUNK
+    assert CHUNK * n_chunks == B, (B, CHUNK)
     phys = PhysicsState.default(model, np.zeros(6), batch=(B,),
                                 base_height=0.62)
     cmd = jnp.zeros((B, 3))
     ms = ctrl.init(B)
-    torque, ms, cost = ctrl.plan(phys, cmd, ms)  # compile
+
+    def _split(tree):
+        return jax.tree.map(
+            lambda a: a.reshape((n_chunks, CHUNK) + a.shape[1:]), tree)
+
+    @jax.jit
+    def plan_all(phys, cmd, ms):
+        def one(args):
+            p, c, m = args
+            return ctrl.plan(p, c, m)
+        t, m2, c2 = jax.lax.map(one, (_split(phys), _split(cmd), _split(ms)))
+        unsplit = lambda a: a.reshape((B,) + a.shape[2:])
+        return (jax.tree.map(unsplit, t), jax.tree.map(unsplit, m2),
+                jax.tree.map(unsplit, c2))
+
+    torque, ms, cost = plan_all(phys, cmd, ms)  # compile
     jax.block_until_ready(cost)
     iters = max(TIMED_ITERS // 4, 3)
     t0 = time.perf_counter()
     for _ in range(iters):
-        torque, ms, cost = ctrl.plan(phys, cmd, ms)
+        torque, ms, cost = plan_all(phys, cmd, ms)
     jax.block_until_ready(cost)
     dt = (time.perf_counter() - t0) / iters
     solves_per_sec = B / dt
@@ -182,7 +205,7 @@ def main_train():
     }))
 
 
-def _bench_env(task, procedural, timed_iters=None, reps=None):
+def _bench_env(task, procedural, timed_iters=None, reps=None, ablate=()):
     """Median-of-reps env-throughput measurement for ONE terrain path."""
     import jax
     import jax.numpy as jnp
@@ -191,6 +214,8 @@ def _bench_env(task, procedural, timed_iters=None, reps=None):
 
     os.environ["POINTFOOT_PROCTERRAIN"] = "1" if procedural else "0"
     env = task_registry.make_env(task, num_envs=NUM_ENVS)
+    if ablate:
+        env._ablate = frozenset(ablate)  # phase profiling only
     state = env.init_state(jax.random.PRNGKey(0))
 
     def do_steps(state, key):
@@ -258,6 +283,40 @@ def _bench_env(task, procedural, timed_iters=None, reps=None):
         elapsed = time.perf_counter() - t0
         rep_vals.append(per_iter_steps * timed_iters / elapsed)
     return sorted(rep_vals)[len(rep_vals) // 2], rep_vals, settles
+
+
+def main_env_phases(task="pointfoot_rough"):
+    """Phase-cost profile of the full env step by ablation (VERDICT r4
+    item 6): measure the step with each post-physics phase's work replaced
+    by zeros (LeggedEnv._ablate) and attribute cost by difference.  The
+    'physics' row ablates everything post-physics at once — its gap to
+    'full' is the total post-physics bill.  One JSON line; per-variant
+    steps/s in the 'phases' field."""
+    ALL = ("reward", "obs", "heights", "reset", "commands", "push")
+    variants = {
+        "full": (),
+        "physics_only": ALL,
+        "no_reward": ("reward",),
+        "no_obs_heights": ("obs", "heights"),
+        "no_reset": ("reset",),
+        "no_cmd_push": ("commands", "push"),
+    }
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    out = {}
+    for name, ab in variants.items():
+        val, rep_vals, settles = _bench_env(
+            task, procedural=True, timed_iters=iters, reps=1, ablate=ab)
+        out[name] = round(val)
+    full = out["full"]
+    # per-phase cost in us per step, attributed by rate difference
+    us = {n: round(NUM_ENVS * (1.0 / full - 1.0 / v) * 1e6, 1)
+          for n, v in out.items() if n != "full"}
+    print(json.dumps({
+        "metric": "env_phase_profile", "value": full, "unit": "steps/s",
+        "vs_baseline": round(full / (NUM_ENVS * 50.0), 3),
+        "phases": out, "phase_gain_us_per_step": us,
+        "num_envs": NUM_ENVS, "conditions": CONDITIONS,
+    }))
 
 
 def main(task="pointfoot_rough"):
@@ -362,5 +421,7 @@ if __name__ == "__main__":
         main(task="anymal_c_rough")
     elif MODE == "train":
         main_train()
+    elif MODE == "env_phases":
+        main_env_phases()
     else:
         main()

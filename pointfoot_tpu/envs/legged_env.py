@@ -120,6 +120,12 @@ class LeggedEnv:
     def __init__(self, cfg: LeggedEnvCfg, terrain: TerrainGrid | None = None,
                  model: RobotModel | None = None):
         self.cfg = cfg
+        # phase-ablation switch for throughput profiling ONLY (bench.py
+        # BENCH_MODE=env_phases): a set of phase names whose work is
+        # replaced by zeros at trace time so the phase's cost can be
+        # measured by difference on-chip.  Empty (the default, and the
+        # only supported value for training/eval) leaves step() exact.
+        self._ablate: frozenset = frozenset()
         self.model = model if model is not None else get_model(cfg.asset.model_name)
         m = self.model
         self.num_envs = cfg.env.num_envs
@@ -578,7 +584,10 @@ class LeggedEnv:
         foot_pos = (sphere_pos[:, jnp.asarray(self.feet_idx), :]
                     if sphere_pos is not None
                     else self._foot_positions(phys, state.params))
-        measured_heights = self._measured_heights(phys)
+        if "heights" in self._ablate:
+            measured_heights = jnp.zeros_like(self._measured_heights(phys))
+        else:
+            measured_heights = self._measured_heights(phys)
         contact_force = phys.contact_force  # (B, nc, 3)
         feet_force = contact_force[:, jnp.asarray(self.feet_idx), :]
 
@@ -617,11 +626,12 @@ class LeggedEnv:
         )
 
         # --- commands: resample / heading controller / curriculum pin ---
-        state = self._update_commands(state, k_cmd, phys)
+        if "commands" not in self._ablate:
+            state = self._update_commands(state, k_cmd, phys)
 
         # --- pushes: PointFoot queues a world force (PF:590-611); the
         # LeggedRobot family sets the base velocity directly (LR:414-419) ---
-        if cfg.domain_rand.push_robots:
+        if cfg.domain_rand.push_robots and "push" not in self._ablate:
             push_step = (state.common_step % self.push_interval) == 0
             if cfg.obs_style == "legged":
                 vel_xy = jax.random.uniform(
@@ -673,14 +683,18 @@ class LeggedEnv:
             feet_air_time=air_for_reward,  # pre-zeroing, = ref post-+dt
             done=done, time_out=time_out, state=state,
         )
-        reward, term_values = self._compute_reward(ctx)
+        if "reward" in self._ablate:
+            reward = jnp.zeros(B)
+            term_values = jnp.zeros((B, len(self.reward_names)))
+        else:
+            reward, term_values = self._compute_reward(ctx)
         # quarantined (non-finite) envs must not leak into the PPO batch:
         # zero their rewards entirely (nan_to_num alone maps inf to 3.4e38,
         # which still poisons GAE), and clamp the rest defensively
         reward = jnp.where(bad, 0.0, jnp.nan_to_num(reward))
-        # cfg.rewards.clip_reward (default 100 ~ 50x any legitimate
-        # per-step magnitude; scales are dt-premultiplied so healthy
-        # per-step terms are O(1)).  The old +-1e4 band let finite-but-
+        # cfg.rewards.clip_reward (default 20, still ~10-50x any
+        # legitimate per-step magnitude; scales are dt-premultiplied so
+        # healthy per-step terms are O(1)).  The old +-1e4 band let finite-but-
         # huge rewards from kicked envs (deep-penetration spring
         # impulses) through: one storm of them drove value_loss from ~3
         # to 1e8 at ~88k iters and the poisoned critic took the policy
@@ -712,15 +726,21 @@ class LeggedEnv:
         }
 
         # --- masked reset (curricula inside) ---
-        state = self._reset_envs(state, done, k_reset)
+        if "reset" not in self._ablate:
+            state = self._reset_envs(state, done, k_reset)
 
         # --- observations from post-reset state (PF ordering).  The height
         # scan is reused from before the reset — exactly the reference
         # behavior (post_physics_step computes measured_heights once,
         # :212-214, and compute_observations after reset_idx reads the stale
         # buffer for freshly reset envs) ---
-        obs, priv = self._compute_observations(state, k_noise,
-                                               measured_heights)
+        if "obs" in self._ablate:
+            obs = jnp.zeros((B, self.num_obs))
+            priv = (jnp.zeros((B, self.num_privileged_obs))
+                    if self.num_privileged_obs is not None else None)
+        else:
+            obs, priv = self._compute_observations(state, k_noise,
+                                                   measured_heights)
 
         state = state.replace(
             last_actions=state.actions,

@@ -24,9 +24,23 @@ import pointfoot_tpu.ops.quat as quat_ops
 from pointfoot_tpu.utils.registry import task_registry
 
 
-def make_eval_env(task: str, num_envs: int, cfg_patch: Optional[dict] = None):
+def make_eval_env(task: str, num_envs: int, cfg_patch: Optional[dict] = None,
+                  platform: Optional[str] = "cpu"):
     """Env + loaded-policy factory with eval-mode overrides (reference
-    play.py:45-51: noise and pushes off)."""
+    play.py:45-51: noise and pushes off).
+
+    `platform="cpu"` (default) pins JAX to CPU unless devices already
+    initialized: on this machine the axon PJRT plugin's sitecustomize
+    overrides jax_platforms in EVERY process, so an eval that doesn't pin
+    silently rides the single TPU tunnel and time-slices a live trainer
+    (the round-2 ~35% bench under-report, utils/benchlock.py).  Pass
+    platform=None to keep whatever the process already chose.
+    """
+    if platform is not None:
+        try:
+            jax.config.update("jax_platforms", platform)
+        except RuntimeError:
+            pass  # backend already initialized — caller owns the choice
     patch = dict(noise=dict(add_noise=False),
                  domain_rand=dict(push_robots=False))
     if cfg_patch:
