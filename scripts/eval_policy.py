@@ -34,11 +34,31 @@ def main():
     ap.add_argument("--wz", type=float, default=0.0,
                     help="commanded yaw rate for every config")
     ap.add_argument("--secs", type=float, default=10.0)
+    ap.add_argument("--override", action="append", default=[],
+                    help="GROUP.FIELD=VALUE env-config override (same "
+                    "syntax as scripts/train.py; e.g. "
+                    "terrain.procedural=true to evaluate on the trained "
+                    "procedural realization)")
     args = ap.parse_args()
 
     from pointfoot_tpu.utils import policy_eval
 
-    env = policy_eval.make_eval_env(args.task, args.num_envs)
+    import ast
+
+    cfg_patch = {}
+    for ov in args.override:
+        path, _, raw = ov.partition("=")
+        group, _, field = path.partition(".")
+        if not (group and field and raw):
+            raise SystemExit(f"bad --override {ov!r}: want GROUP.FIELD=VALUE")
+        try:
+            val = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            val = {"true": True, "false": False}.get(raw.lower(), raw)
+        cfg_patch.setdefault(group, {})[field] = val
+
+    env = policy_eval.make_eval_env(args.task, args.num_envs,
+                                    cfg_patch=cfg_patch or None)
     policy = policy_eval.load_policy(env, args.task, args.load_run)
     step = jax.jit(env.step)
     flat = env.cfg.terrain.mesh_type == "plane"

@@ -57,6 +57,42 @@ def test_stepping_controller_runs_and_schedules():
     assert np.abs(np.asarray(gait.target_pos)[..., :2]).max() < 1.0
 
 
+def test_step_targets_avoid_terrain_edges():
+    """Edge-aware placement (round 5): a step target that would land
+    within 6 cm of a height discontinuity is shifted onto the side
+    matching its own height — a foot on the ledge LIP lands
+    half-supported and collapses the stance (measured: ~half of
+    phase-decorrelated 5 cm-step approaches fell without this)."""
+    model = get_model("pointfoot")
+    params = PhysicsParams.nominal(model)
+    feet = model.collision_indices("foot")
+    hfn = lambda x, y: 0.05 * (jnp.asarray(x, jnp.float32) > 1.0)
+    ctrl = SteppingController(model, params, feet, np.zeros(6),
+                              height_fn=hfn)
+    B = 1
+    # place the robot so the Raibert target for a forward walk lands
+    # right at the ledge (x = 1.0): walking at 0.4 m/s from x ~ 0.95
+    phys = PhysicsState.default(model, np.zeros(6), batch=(B,),
+                                base_height=0.62)
+    phys = phys.replace(
+        base_pos=phys.base_pos.at[:, 0].set(0.97),
+        base_lin_vel=phys.base_lin_vel.at[:, 0].set(0.4))
+    gait = ctrl.init(B, phys)
+    cmd = jnp.broadcast_to(jnp.asarray([0.4, 0.0, 0.0]), (B, 3))
+    for _ in range(30):  # roll through at least one full gait cycle
+        tau, gait = ctrl.control(phys, cmd, gait)
+        tx = np.asarray(gait.target_pos)[0, :, 0]
+        # no target inside the exclusion band around the lip at x=1.0
+        # (the probe is +-6 cm; allow a small numerical skin)
+        assert not np.any((tx > 1.0 - 0.055) & (tx < 1.0 + 0.055)), tx
+        # target z rides the terrain under the (shifted) target xy, modulo
+        # the swing profile's small intentional offsets (e.g. the push
+        # slightly below the ground line at touchdown)
+        tz = np.asarray(gait.target_pos)[0, :, 2]
+        for x, z in zip(tx, tz):
+            assert abs(z - (0.05 if x > 1.0 else 0.0)) < 0.03, (x, z)
+
+
 @pytest.mark.slow
 def test_biped_walks_closed_loop():
     """The VERDICT round-2 target: pointfoot walks >=5 s under gait-MPC at
