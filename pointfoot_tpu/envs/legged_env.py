@@ -899,7 +899,19 @@ class LeggedEnv:
         if cfg.terrain.curriculum and cfg.terrain.mesh_type != "plane":
             dist = jnp.linalg.norm(
                 state.physics.base_pos[:, :2] - state.env_origin[:, :2], axis=-1)
-            move_up = dist > self.terrain.terrain_length / 2
+            if cfg.terrain.cmd_conditioned_promotion:
+                # promotion DEVIATION (TerrainCfg.cmd_conditioned_promotion):
+                # required distance scales with the commanded speed —
+                # clip(0.5*|cmd|*T, 2.0 m, terrain_length/2) — so slow-but-
+                # tracking episodes can promote too (the reference's fixed
+                # terrain_length/2 bar is unreachable below ~0.4 m/s)
+                cmd_speed = jnp.linalg.norm(state.commands[:, :2], axis=-1)
+                required = jnp.clip(
+                    0.5 * cmd_speed * self.max_episode_length_s,
+                    2.0, self.terrain.terrain_length / 2)
+                move_up = dist > required
+            else:
+                move_up = dist > self.terrain.terrain_length / 2
             # DELIBERATE deviation from point_foot.py:630: the reference
             # scales required distance by the FULL episode length even for
             # episodes that terminated early, demoting a robot that tracked

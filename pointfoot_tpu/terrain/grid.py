@@ -69,6 +69,19 @@ class TerrainCfg:
     # other family sits at 5.2-6.0.  A cap (e.g. 0.12) keeps level
     # progression meaningful for gait-quality curricula.
     stairs_up_height_cap: Optional[float] = None
+    # Curriculum-promotion DEVIATION (off by default = reference-exact):
+    # promote on distance > clip(0.5*|cmd|*T_episode, 2.0, terrain_length/2)
+    # instead of the reference's fixed terrain_length/2 (point_foot.py:627).
+    # Under the fixed rule an env commanded slower than ~0.4 m/s can NEVER
+    # promote (0.4 * 20 s * 0.5 = 4.0 m = the fixed bar), so only the
+    # fast-command tail of episodes carries the curriculum — and on
+    # stairs_up those episodes fall the most, which is the round-4/5
+    # diagnosed promotion bottleneck (family mean 3.8 vs 5.2-6.0 for every
+    # other family at iteration 219k; scripts/terrain_family_stats.py).
+    # With the knob on, a >=~80%-tracking episode promotes at ANY command
+    # above the stand threshold; the 2.0 m floor keeps stand-still /
+    # creep episodes from promoting trivially.  Demotion is unchanged.
+    cmd_conditioned_promotion: bool = False
     # Gather-free closed-form terrain (terrain/procedural.py): heights come
     # from VPU math on a hash of the cell index instead of HBM gathers —
     # the height scan is the dominant cost of rough-terrain steps on TPU.

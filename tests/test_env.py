@@ -424,6 +424,46 @@ def test_standing_feet_never_fire_first_contact():
     np.testing.assert_allclose(d, 0.0, atol=1e-6)
 
 
+def test_cmd_conditioned_promotion_toggle():
+    """TerrainCfg.cmd_conditioned_promotion (round-5 deviation): a
+    slow-command episode that tracked well promotes under the knob —
+    required distance clip(0.5*|cmd|*T, 2.0, terrain_length/2) — while
+    the reference's fixed terrain_length/2 bar (point_foot.py:627) is
+    unreachable below ~0.4 m/s no matter how well it tracked."""
+    results = {}
+    for on in (False, True):
+        env = task_registry.make_env(
+            "pointfoot_rough", num_envs=4,
+            cfg_patch=dict(terrain=dict(cmd_conditioned_promotion=on)))
+        state = env.init_state(jax.random.PRNGKey(0))
+        T = int(env.max_episode_length)
+        lvl = jnp.full((4,), 3, jnp.int32)
+        origin = env.terrain.env_origins[lvl, state.terrain_type]
+        # timed out at T having tracked cmd 0.3 at ~58% of episode
+        # distance: covered 3.5 m — above the knob's 3.0 m requirement,
+        # below the fixed 4.0 m bar (terrain_length 8)
+        covered = 3.5
+        assert covered < env.terrain.terrain_length / 2
+        state = state.replace(
+            terrain_level=lvl, env_origin=origin,
+            physics=state.physics.replace(
+                base_pos=state.physics.base_pos.at[:, :2].set(
+                    origin[:, :2] + jnp.asarray([covered, 0.0]))),
+            commands=jnp.broadcast_to(
+                jnp.asarray([0.3, 0.0, 0.0, 0.0]), (4, 4)),
+            episode_step=jnp.full((4,), T, jnp.int32),
+            cmd_progress=jnp.full((4,), covered),
+        )
+        new = env._reset_envs(state, jnp.ones(4, bool),
+                              jax.random.PRNGKey(1))
+        results[on] = np.asarray(new.terrain_level)
+    # reference rule: 3.5 m < 4.0 m -> no promotion (and progress 3.5 >
+    # demotion bar 3.0 -> no demotion either)
+    assert (results[False] == 3).all(), results[False]
+    # knob: 3.5 m > clip(0.5*0.3*20, 2, 4) = 3.0 m -> promoted
+    assert (results[True] == 4).all(), results[True]
+
+
 def test_reference_exact_demotion_toggle():
     """PARITY.md quirk #10: `terrain.reference_exact_demotion=true` restores
     the reference's demotion rule (point_foot.py:627-631) — required
