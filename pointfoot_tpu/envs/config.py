@@ -281,6 +281,15 @@ class AlgorithmCfg:
     # clears init_noise_std=1.0 with headroom but stops the runaway.
     max_noise_std: float = 1.5
     min_noise_std: float = 0.01
+    # Winsorized KL for the adaptive-LR controller (0 = reference-exact
+    # plain mean, the rsl_rl formula).  A few rogue samples with
+    # per-sample KL in the hundreds can drag the 98k-sample mean past the
+    # LR-drop threshold while typical divergence is tiny — measured to
+    # rail the LR to 1e-5 on 31% of iterations (effective lr ~43% of the
+    # cap) on the round-5 rough run with every other health metric flat.
+    # When > 0, each sample's KL contribution is capped at this value
+    # before averaging (rl/ppo.py).
+    kl_winsor: float = 0.0
 
 
 @dataclass(frozen=True)

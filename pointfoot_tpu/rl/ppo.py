@@ -145,11 +145,24 @@ class PPO:
                 - cfg.entropy_coef * entropy)
 
         # KL(old || new) for the adaptive LR rule (rsl_rl formula)
-        kl = jnp.mean(jnp.sum(
+        kl_per_sample = jnp.sum(
             jnp.log(std / batch.std + 1e-5)
             + (batch.std**2 + (batch.mean - mean) ** 2) / (2.0 * std**2)
             - 0.5,
-            axis=-1))
+            axis=-1)
+        # Winsorized mean (cfg.kl_winsor, 0 = reference-exact plain mean):
+        # a handful of rogue samples (extreme post-push/reset obs) can
+        # carry per-sample KL in the hundreds, dragging the MEAN over 98k
+        # samples past the LR-drop threshold while the typical divergence
+        # is tiny — measured on tpu_r4_storm iters 219k-234k: 31% of
+        # iterations read mean KL > 1 with noise_std/eplen flat, railing
+        # the adaptive LR to 1e-5 and cutting the EFFECTIVE lr to ~43% of
+        # its cap.  Capping each sample's contribution (e.g. at 1.0,
+        # ~60x the 0.016 desired_kl) keeps the controller's signal while
+        # bounding one sample's vote.
+        if getattr(cfg, "kl_winsor", 0.0) > 0.0:
+            kl_per_sample = jnp.minimum(kl_per_sample, cfg.kl_winsor)
+        kl = jnp.mean(kl_per_sample)
         metrics = dict(surrogate_loss=surrogate_loss, value_loss=value_loss,
                        entropy=entropy, kl=kl)
         return loss, metrics

@@ -229,3 +229,34 @@ def test_symmetric_critic_task_trains():
     pol = runner.get_inference_policy(ts)
     a = pol(jnp.zeros((8, env.num_obs)))
     assert np.isfinite(np.asarray(a)).all()
+
+
+def test_kl_winsor_bounds_rogue_sample_vote():
+    """algorithm.kl_winsor (round 5): one rogue sample with huge
+    per-sample KL must not rail the adaptive-LR controller when the
+    typical divergence is tiny.  Measured motivation: 31% of rough-run
+    iterations read mean KL > 1 from a handful of extreme post-push
+    samples (noise_std/eplen flat), cutting effective LR to ~43% of its
+    cap.  Default 0 stays reference-exact (plain rsl_rl mean)."""
+    net = ActorCritic(num_actions=2, actor_hidden=(16,), critic_hidden=(16,))
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 6)),
+                      jnp.zeros((1, 6)))
+    rollout = _make_rollout(jax.random.PRNGKey(1))
+    # one rogue sample: an enormous old-policy mean offset -> per-sample
+    # KL ~ (dmu/std)^2/2 ~ 5e3; the other 31 samples are untouched
+    rogue_mean = rollout.mean.at[0, 0].add(100.0)
+    rollout = rollout._replace(
+        mean=rogue_mean,
+        log_prob=gaussian_log_prob(rogue_mean, rollout.std, rollout.action))
+    kls = {}
+    for winsor in (0.0, 1.0):
+        ppo = PPO(net, AlgorithmCfg(num_mini_batches=1,
+                                    num_learning_epochs=1,
+                                    kl_winsor=winsor))
+        ts = ppo.init_train_state(params)
+        _, metrics = jax.jit(ppo.update)(ts, rollout,
+                                         jnp.zeros(4), jax.random.PRNGKey(2))
+        kls[winsor] = float(metrics["kl"])
+    # plain mean is dominated by the rogue sample; winsorized is not
+    assert kls[0.0] > 50.0, kls
+    assert kls[1.0] < 2.0, kls
