@@ -47,6 +47,15 @@ CHECKPOINTS = [
     # (eval_55000.json); level None = plane terrain
     ("pointfoot_flat", "logs/pointfoot_flat/tpu_r4_ft/model_55000",
      None, [(None, 0.5, 4, 0.35)]),
+    # round-5 flagship: 0 falls/144 on the full battery with cmd-0.4
+    # error within +-9% and stand-creep <= 0.04 (eval_234000_proc.json).
+    # min_vx 0.15 (not 0.25): this policy tracks PRECISELY (0.37-0.42 at
+    # cmd 0.4 over 10 s) instead of overshooting, so the 6-s probe's
+    # startup transient weighs more (measured 0.21 healthy); a gait
+    # breakage still reads near 0 and/or double-digit falls
+    ("pointfoot_rough", "logs/pointfoot_rough/tpu_r4_storm/model_234000",
+     dict(terrain=dict(procedural=True)),
+     [(0, 0.0, 8, None), (0, 0.4, 8, 0.15)]),
 ]
 
 
