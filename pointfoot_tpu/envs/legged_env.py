@@ -587,6 +587,11 @@ class LeggedEnv:
         if "heights" in self._ablate:
             measured_heights = jnp.zeros_like(self._measured_heights(phys))
         else:
+            # (round-5 profiling note: a materialization barrier here was
+            # A/B'd at -1.3% — the ablation profile's apparent consumer
+            # duplication was a compilation artifact; the real cost is the
+            # height-scan hash chain itself, attacked at the source in
+            # terrain/procedural.py via hash-prefix hoisting)
             measured_heights = self._measured_heights(phys)
         contact_force = phys.contact_force  # (B, nc, 3)
         feet_force = contact_force[:, jnp.asarray(self.feet_idx), :]

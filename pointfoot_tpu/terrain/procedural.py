@@ -55,6 +55,27 @@ def hash_unif(seed: int, *keys):
         1.0 / 4294967296.0)
 
 
+def hash_prefix(seed: int, *keys):
+    """Partial hash state after folding `keys` — BIT-EXACT prefix of
+    hash_u32(seed, *keys, more...).  Round-5 throughput refactor: the
+    height scan's hot branch (_discrete_obstacles) draws 100 hashes per
+    point-eval that share the same (i, j) keys; hoisting the (seed, i, j)
+    prefix turns each draw from a 4-mix chain into a single mix (~4x
+    fewer hash ops) while producing the identical bit pattern — the
+    terrain realization every committed policy trained on is unchanged
+    (pinned by test_procedural_terrain.py::test_hash_prefix_bit_exact)."""
+    return hash_u32(seed, *keys)
+
+
+def hash_unif_from(prefix, *keys):
+    """Continue a hash_prefix with more keys -> uniform [0, 1) float32."""
+    h = prefix
+    for k in keys:
+        k = jnp.asarray(k).astype(jnp.uint32)
+        h = _mix(h ^ (k * jnp.uint32(0x85EBCA6B) + jnp.uint32(0xC2B2AE35)))
+    return h.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+
+
 # draw salts (one namespace per random consumer)
 _S_ROUGH = 1  # random_uniform coarse-cell level
 _S_RECT = 2  # discrete_obstacles rect params (salt + 8*k + draw)
@@ -158,13 +179,15 @@ def _discrete_obstacles(spec, i, j, u, v, max_height, min_size=1.0,
     painted in order (later rects overwrite), then a flat center platform."""
     rows, cols, hs = spec.cell_r, spec.cell_c, spec.hscale
     h = jnp.zeros_like(max_height)
+    # hoisted (seed, i, j) hash prefix: each of the 100 draws below is a
+    # single mix instead of a 4-mix chain — bit-exact (see hash_prefix)
+    pfx = hash_prefix(spec.seed + _S_RECT, i, j)
     for k in range(num_rects):
-        s = spec.seed + _S_RECT
-        uw = hash_unif(s, i, j, 8 * k + 0)
-        ul = hash_unif(s, i, j, 8 * k + 1)
-        ur = hash_unif(s, i, j, 8 * k + 2)
-        uc = hash_unif(s, i, j, 8 * k + 3)
-        uh = hash_unif(s, i, j, 8 * k + 4)
+        uw = hash_unif_from(pfx, 8 * k + 0)
+        ul = hash_unif_from(pfx, 8 * k + 1)
+        ur = hash_unif_from(pfx, 8 * k + 2)
+        uc = hash_unif_from(pfx, 8 * k + 3)
+        uh = hash_unif_from(pfx, 8 * k + 4)
         w = ((uw * (max_size - min_size) + min_size) / hs).astype(jnp.int32)
         l = ((ul * (max_size - min_size) + min_size) / hs).astype(jnp.int32)
         r = (ur * jnp.maximum(rows - w, 1).astype(jnp.float32)

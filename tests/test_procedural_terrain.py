@@ -153,3 +153,21 @@ def test_env_runs_on_procedural_terrain(monkeypatch):
     # height scan actually varies over terrain (not flat-zero fallback)
     hs = env._measured_heights(state.physics)
     assert np.asarray(hs).std() > 1e-4
+
+
+def test_hash_prefix_bit_exact():
+    """hash_prefix/hash_unif_from must reproduce hash_unif(seed, i, j, d)
+    EXACTLY — the hoisted prefix is a pure refactor of the mix chain, and
+    the terrain realization every committed policy trained on rides it."""
+    import numpy as np
+    from pointfoot_tpu.terrain.procedural import (
+        hash_prefix, hash_unif, hash_unif_from)
+
+    i = jnp.arange(-3, 50, 7)
+    j = jnp.arange(0, 53, 7) * 3
+    for seed in (0, 2, 12345):
+        pfx = hash_prefix(seed, i, j)
+        for d in (0, 1, 7, 158):
+            a = np.asarray(hash_unif(seed, i, j, d))
+            b = np.asarray(hash_unif_from(pfx, d))
+            np.testing.assert_array_equal(a, b)
