@@ -856,6 +856,18 @@ class LeggedEnv:
         need = need & ~state.cmd_pinned
         lo, hi = state.lin_vel_x_range[0], state.lin_vel_x_range[1]
         vx = jax.random.uniform(k1, (B,), minval=lo, maxval=hi)
+        if cfg.low_cmd_oversample > 0.0:
+            # low-command oversampling (CommandsCfg.low_cmd_oversample):
+            # redirect a fraction of draws into the precision-critical
+            # [0.2, band] magnitude range (sign random) so sharpened
+            # tracking selectivity is actually sampled
+            k1a, k1b, k1c = jax.random.split(k1, 3)
+            mag = jax.random.uniform(k1a, (B,), minval=0.2,
+                                     maxval=cfg.low_cmd_band)
+            sign = jnp.where(
+                jax.random.uniform(k1b, (B,)) < 0.5, -1.0, 1.0)
+            use_low = jax.random.uniform(k1c, (B,)) < cfg.low_cmd_oversample
+            vx = jnp.where(use_low, sign * mag, vx)
         vy = jax.random.uniform(k2, (B,), minval=cfg.lin_vel_y[0],
                                 maxval=cfg.lin_vel_y[1])
         cmds = state.commands

@@ -61,3 +61,25 @@ def test_rel_width_floor_bounds_standstill_sharpness():
     # width stays finite
     r = _track_reward(env, [[0.0, 0.0]], [[0.1, 0.0]])
     np.testing.assert_allclose(r, np.exp(-0.01 / 0.01), rtol=1e-4)
+
+
+def test_low_cmd_oversample_shifts_distribution():
+    """CommandsCfg.low_cmd_oversample (round-5 follow-up lever): with the
+    knob at 0.5, about half of resampled vx land in the precision-
+    critical [0.2, 0.4] magnitude band; default 0 keeps the reference's
+    uniform draw (< ~12% in-band for the (-1, 1) range)."""
+    def band_frac(patch):
+        env = task_registry.make_env("pointfoot_flat", num_envs=512,
+                                     cfg_patch=patch)
+        state = env.init_state(jax.random.PRNGKey(0))
+        # force a resample on every env
+        state = state.replace(episode_step=jnp.zeros(512, jnp.int32))
+        state = env._resample_commands(
+            state, jnp.ones(512, bool), jax.random.PRNGKey(3))
+        vx = np.abs(np.asarray(state.commands[:, 0]))
+        return ((vx >= 0.2) & (vx <= 0.4)).mean()
+
+    base = band_frac(None)
+    over = band_frac(dict(commands=dict(low_cmd_oversample=0.5)))
+    assert base < 0.2, base
+    assert over > 0.35, over
