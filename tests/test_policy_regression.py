@@ -56,6 +56,15 @@ CHECKPOINTS = [
     ("pointfoot_rough", "logs/pointfoot_rough/tpu_r4_storm/model_234000",
      dict(terrain=dict(procedural=True)),
      [(0, 0.0, 8, None), (0, 0.4, 8, 0.15)]),
+    # round-5 flat low-command artifact (VERDICT r4 item 2, flat half):
+    # under the ROBUST probe (64 envs x 20 s) cmd 0.25 -> 0.237 (-5%),
+    # 0.5 -> 0.454 (-9%), 1.0 -> 1.12 (+12%), 0 falls everywhere
+    # (eval_82000_robust*.json).  Reward-shaping knobs it trained under
+    # (tracking_rel_vref, low_cmd_oversample) do not affect obs/physics,
+    # so no cfg_patch.  min_vx 0.12 at cmd 0.25: transient-weighted 6-s
+    # probe on a precise tracker (same rationale as the 234k row).
+    ("pointfoot_flat", "logs/pointfoot_flat/tpu_r5_os/model_82000",
+     None, [(None, 0.25, 4, 0.12), (None, 0.5, 4, 0.30)]),
 ]
 
 
